@@ -1,0 +1,210 @@
+"""Typed configuration tree for the LeafGrasp TPU framework.
+
+The reference scatters every constant across constructors (see reference
+leaf_grasp_node_v3.py:31-37, grasp_point_selector.py:17-33, leaf_scorer.py:170
+and README-advertised-but-absent YAML configs, README.md:210).  Here all of
+them live in one frozen, hashable dataclass tree so they can be passed as
+static args to ``jax.jit`` and swept programmatically.
+
+All dataclasses are frozen (hashable) -> usable as jit static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera intrinsics derived from a 3x4 projection matrix P.
+
+    Mirrors reference leaf_scorer.py:19-23 / grasp_point_selector.py:145-150:
+    f_norm = P[0,0], cx = P[0,2], cy = P[1,2], baseline = -P[0,3]/f_norm.
+    """
+
+    fx: float = 1750.68
+    cx: float = 707.87
+    cy: float = 494.07
+    baseline: float = 0.0
+
+    @staticmethod
+    def from_projection(p_matrix) -> "CameraConfig":
+        fx = float(p_matrix[0, 0])
+        return CameraConfig(
+            fx=fx,
+            cx=float(p_matrix[0, 2]),
+            cy=float(p_matrix[1, 2]),
+            baseline=float(-p_matrix[0, 3] / fx) if fx else 0.0,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameConfig:
+    """Static frame geometry (reference leaf_grasp_node_v3.py:31-32)."""
+
+    height: int = 1080
+    width: int = 1440
+    # Fixed upper bound on instance count so per-leaf loops become padded,
+    # jit-friendly batch ops (reference loops over a dynamic leaf list).
+    max_leaves: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class LeafSelectionConfig:
+    """Leaf-level (Pareto) selection: reference leaf_scorer.py:25-199."""
+
+    min_leaf_area: int = 10000          # leaf_scorer.py:80
+    distance_scale_m: float = 0.3       # leaf_scorer.py:117 (exp falloff)
+    tall_bonus: float = 1.1             # leaf_scorer.py:157 (code says 1.1; the
+                                        # comment claims 20% -- we follow code)
+    clutter_weight: float = 0.35        # leaf_scorer.py:170
+    distance_weight: float = 0.35
+    visibility_weight: float = 0.30
+
+
+@dataclasses.dataclass(frozen=True)
+class GraspScoringConfig:
+    """Pixel-level grasp scoring: reference grasp_point_selector.py:17-33,
+    256-288, 502-701.
+
+    NOTE the README (reference README.md:83-87) advertises weights
+    25/40/15/20 which do NOT match the code; we follow the code
+    (grasp_point_selector.py:272-277): 0.4 approach + 0.3 sdf +
+    0.2 flatness + 0.1 accessibility, gated by (1 - stem_penalty).
+    """
+
+    approach_weight: float = 0.4
+    sdf_weight: float = 0.3
+    flatness_weight: float = 0.2
+    accessibility_weight: float = 0.1
+
+    # sdf_score internals (grasp_point_selector.py:526-567)
+    optimal_edge_distance: float = 20.0
+    sdf_interior_weight: float = 0.4
+    sdf_alignment_weight: float = 0.4
+    sdf_raw_weight: float = 0.2
+
+    # isolation internals (grasp_point_selector.py:595-633)
+    isolation_close_kernel: int = 30
+    isolation_wide_kernel: int = 40
+    isolation_close_weight: float = 0.7
+    isolation_wide_weight: float = 0.3
+    height_pref_top: float = 1.0
+    height_pref_bottom: float = 0.2
+
+    # accessibility internals (grasp_point_selector.py:502-524)
+    access_distance_weight: float = 0.7
+    access_direction_weight: float = 0.3
+
+    # stem penalty (grasp_point_selector.py:688-701)
+    stem_kernel: int = 30
+    stem_bottom_fraction: float = 3.0   # bottom third
+
+    # flatness (grasp_point_selector.py:635-657)
+    flatness_gradient_scale: float = 5.0
+    gaussian_kernel_size: int = 5       # leaf_grasp_node_v3.py:37
+
+    # candidate extraction (grasp_point_selector.py:194-198, 282-288)
+    min_edge_distance: float = 20.0
+    stem_penalty_cutoff: float = 0.8
+    top_k: int = 20
+    min_candidate_distance: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class MLFusionConfig:
+    """CV (+) ML confidence-weighted fusion: grasp_point_selector.py:210-237."""
+
+    patch_size: int = 32
+    ml_weight_cap: float = 0.3
+    ml_conf_scale: float = 0.6
+    score_spread_scale: float = 3.0     # tanh(score*3)*0.5+0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class PreGraspConfig:
+    """Pre-grasp ray march: grasp_point_selector.py:754-819."""
+
+    clearance_px: int = 15
+    min_distance_m: float = 0.05
+    max_distance_m: float = 0.10
+    step_m: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """GraspPointCNN architecture: reference model.py:5-128."""
+
+    in_channels: int = 9
+    attention_type: str = "spatial"     # spatial | channel | hybrid | none
+    encoder_filters: Tuple[int, ...] = (64, 128, 256)
+    conv_dropout: float = 0.3
+    fc_dropout: Tuple[float, float, float] = (0.5, 0.5, 0.4)
+    se_reduction: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Offline trainer: reference train_model.py:155-338."""
+
+    seed: int = 42
+    batch_size: int = 16
+    learning_rate: float = 5e-4
+    weight_decay: float = 0.01
+    pos_weight: float = 2.0
+    grad_clip: float = 1.0
+    epochs: int = 150
+    val_fraction: float = 0.2
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+    min_lr: float = 1e-6
+    early_stop_patience: int = 15
+    early_stop_min_delta: float = 1e-3
+    # data-parallel axis size hint; actual mesh comes from parallel.mesh
+    data_axis: str = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class VLAConfig:
+    """VLA hybrid selection: reference vla_system/{hybrid_selector,
+    confidence_manager,llava_processor}.py."""
+
+    num_candidates: int = 5
+    # confidence ladder (hybrid_selector.py:36-51)
+    ladder: Tuple[Tuple[float, float], ...] = (
+        (0.8, 0.6),
+        (0.5, 0.3),
+        (0.2, 0.1),
+    )
+    # confidence blend (confidence_manager.py:11-28)
+    consistency_weight: float = 0.4
+    variance_weight: float = 0.3
+    magnitude_weight: float = 0.3
+    history_len: int = 10
+
+    # LoRA fine-tune (vla_trainer.py:33-43)
+    lora_rank: int = 8
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level config tree."""
+
+    frame: FrameConfig = FrameConfig()
+    camera: CameraConfig = CameraConfig()
+    leaf: LeafSelectionConfig = LeafSelectionConfig()
+    grasp: GraspScoringConfig = GraspScoringConfig()
+    fusion: MLFusionConfig = MLFusionConfig()
+    pregrasp: PreGraspConfig = PreGraspConfig()
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    vla: VLAConfig = VLAConfig()
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,212 @@
+"""Per-pixel grasp scoring: the 7 score maps + combined traditional score.
+
+TPU-native rebuild of ``GraspPointSelector._calculate_all_scores``
+(reference grasp_point_selector.py:256-288,502-701).  All maps are
+computed in one jitted pass over the full frame; the fused Pallas kernel
+in ``ops/pallas_scoring.py`` accelerates the elementwise combination and
+this module is its oracle.
+
+Documented divergences (see SURVEY.md section 7 hard parts):
+
+* ``cv2.distanceTransform(.., DIST_L2, 3|5)`` chamfer approximations are
+  replaced by the exact EDT (strictly more accurate; downstream uses are
+  a >20px threshold, a ridge Gaussian, and max-normalized fields);
+* the leaf major-axis direction comes from image-moment PCA instead of
+  ``cv2.minAreaRect`` of the largest contour (same axis for elongated
+  blobs; only the |cross| alignment term consumes it);
+* the reference treats an absent orientation (no contour) as
+  alignment == 1 everywhere; PCA on an empty mask is flagged invalid and
+  handled the same way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from leafgrasp_tpu.config import GraspScoringConfig
+from leafgrasp_tpu.ops.edt import edt
+from leafgrasp_tpu.ops.morphology import elliptical_kernel, dilate
+from leafgrasp_tpu.ops.conv import flatness_from_depth
+from leafgrasp_tpu.ops.pca import mask_orientation
+
+__all__ = ["GraspScores", "compute_grasp_scores", "valid_grasp_region"]
+
+# Channel order consumed by the CNN (grasp_point_selector.py:95-99).
+SCORE_CHANNELS = ("sdf_score", "approach_score", "flatness_map",
+                  "isolation_map", "distance_map", "accessibility_map",
+                  "stem_penalty")
+
+
+class GraspScores(NamedTuple):
+    sdf_score: jnp.ndarray
+    approach_score: jnp.ndarray
+    flatness_map: jnp.ndarray
+    isolation_map: jnp.ndarray
+    distance_map: jnp.ndarray
+    accessibility_map: jnp.ndarray
+    stem_penalty: jnp.ndarray
+    traditional_score: jnp.ndarray
+    valid_region: jnp.ndarray    # bool
+
+    def stacked_channels(self) -> jnp.ndarray:
+        """(7, H, W) stack in CNN channel order."""
+        return jnp.stack([getattr(self, name) for name in SCORE_CHANNELS])
+
+
+def _pixel_grids(h: int, w: int):
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    return ys, xs
+
+
+def sdf_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
+                  cfg: GraspScoringConfig) -> jnp.ndarray:
+    """Ridge-SDF + camera-alignment score
+    (grasp_point_selector.py:526-567)."""
+    m = jnp.asarray(leaf_mask, bool)
+    h, w = m.shape
+    dist_inside = edt(~m)    # cv2.distanceTransform(mask)
+    dist_outside = edt(m)    # cv2.distanceTransform(1 - mask)
+    sdf = dist_inside - dist_outside
+
+    opt = cfg.optimal_edge_distance
+    interior_penalty = jnp.exp(-((dist_inside - opt) ** 2) / (2.0 * opt * opt))
+
+    sdf = sdf / jnp.maximum(jnp.max(jnp.abs(sdf)), 1e-30)
+
+    ys, xs = _pixel_grids(h, w)
+    vx = xs - camera_cx
+    vy = ys - camera_cy
+    norm = jnp.sqrt(vx * vx + vy * vy)
+    norm = jnp.where(norm == 0, 1.0, norm)
+    vx, vy = vx / norm, vy / norm
+
+    o = mask_orientation(m)
+    # alignment = |cross((vx,vy), (cos a, sin a))| = |vx sin a - vy cos a|
+    alignment = jnp.abs(vx * jnp.sin(o.angle) - vy * jnp.cos(o.angle))
+    alignment = jnp.where(o.valid, alignment, jnp.ones_like(alignment))
+
+    final = (cfg.sdf_interior_weight * interior_penalty
+             + cfg.sdf_alignment_weight * alignment
+             + cfg.sdf_raw_weight * sdf) * m
+    return final
+
+
+def approach_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
+                       f_norm) -> jnp.ndarray:
+    """|dot(unit ray, z)| = f / ||(x-cx, y-cy, f)||
+    (grasp_point_selector.py:569-593)."""
+    m = jnp.asarray(leaf_mask, jnp.float32)
+    h, w = m.shape
+    ys, xs = _pixel_grids(h, w)
+    norm = jnp.sqrt((xs - camera_cx) ** 2 + (ys - camera_cy) ** 2
+                    + f_norm * f_norm)
+    return (f_norm / norm) * m
+
+
+def isolation_score_map(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
+                        cfg: GraspScoringConfig) -> jnp.ndarray:
+    """Distance-from-interference blend x top-down height preference
+    (grasp_point_selector.py:595-633)."""
+    m = jnp.asarray(leaf_mask, bool)
+    h, w = m.shape
+    other = jnp.asarray(all_mask, bool) & ~m
+
+    def interference_score(ksize: int):
+        inter = dilate(other, elliptical_kernel(ksize))
+        dist = edt(inter)  # distance of clear pixels to interference
+        return dist / (jnp.max(dist) + 1e-6)
+
+    score = (cfg.isolation_close_weight
+             * interference_score(cfg.isolation_close_kernel)
+             + cfg.isolation_wide_weight
+             * interference_score(cfg.isolation_wide_kernel))
+
+    # np.linspace(1.0, 0.2, h) row preference (grasp_point_selector.py:623)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    pref = cfg.height_pref_top + (cfg.height_pref_bottom
+                                  - cfg.height_pref_top) * rows / (h - 1)
+    return score * pref * m
+
+
+def accessibility_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
+                            cfg: GraspScoringConfig) -> jnp.ndarray:
+    """0.7 * (1 - r/max) + 0.3 * cos(theta), masked
+    (grasp_point_selector.py:502-524)."""
+    m = jnp.asarray(leaf_mask, jnp.float32)
+    h, w = m.shape
+    ys, xs = _pixel_grids(h, w)
+    dx = xs - camera_cx
+    dy = ys - camera_cy
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    max_dist = jnp.sqrt(jnp.float32(w * w + h * h))
+    access = 1.0 - dist / max_dist
+    forward = jnp.cos(jnp.arctan2(dy, dx))
+    return (cfg.access_distance_weight * access
+            + cfg.access_direction_weight * forward) * m
+
+
+def stem_penalty_map(leaf_mask: jnp.ndarray,
+                     cfg: GraspScoringConfig) -> jnp.ndarray:
+    """Dilated bottom-third intersection (grasp_point_selector.py:688-701)."""
+    m = jnp.asarray(leaf_mask, bool)
+    h, w = m.shape
+    bottom_third = h // 3
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    bottom = rows >= (h - bottom_third)
+    masked_bottom = m & bottom
+    stem = dilate(masked_bottom, elliptical_kernel(cfg.stem_kernel)) & m
+    return stem.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
+                         depth: jnp.ndarray, camera_cx, camera_cy, f_norm,
+                         cfg: GraspScoringConfig = GraspScoringConfig()
+                         ) -> GraspScores:
+    """All score maps + traditional score + valid region for one leaf.
+
+    leaf_mask : (H, W) bool -- the selected leaf
+    all_mask  : (H, W) bool -- union of all leaves (for isolation)
+    depth     : (H, W) float32 metric depth
+    """
+    m = jnp.asarray(leaf_mask, bool)
+    mf = m.astype(jnp.float32)
+    depth = jnp.asarray(depth, jnp.float32)
+
+    sdf = sdf_score_map(m, camera_cx, camera_cy, cfg)
+    approach = approach_score_map(m, camera_cx, camera_cy, f_norm)
+    flatness = flatness_from_depth(depth * mf, cfg.flatness_gradient_scale,
+                                   cfg.gaussian_kernel_size)
+    isolation = isolation_score_map(m, all_mask, cfg)
+    distance = edt(~m) * mf  # cv2.distanceTransform zeroes background
+    accessibility = accessibility_score_map(m, camera_cx, camera_cy, cfg)
+    stem = stem_penalty_map(m, cfg)
+
+    traditional = (cfg.approach_weight * approach
+                   + cfg.sdf_weight * sdf
+                   + cfg.flatness_weight * flatness
+                   + cfg.accessibility_weight * accessibility) * (1.0 - stem)
+
+    valid = (distance > cfg.min_edge_distance) & m \
+        & (stem < cfg.stem_penalty_cutoff)
+
+    return GraspScores(
+        sdf_score=sdf,
+        approach_score=approach,
+        flatness_map=flatness,
+        isolation_map=isolation,
+        distance_map=distance,
+        accessibility_map=accessibility,
+        stem_penalty=stem,
+        traditional_score=traditional,
+        valid_region=valid,
+    )
+
+
+def valid_grasp_region(scores: GraspScores) -> jnp.ndarray:
+    return scores.valid_region

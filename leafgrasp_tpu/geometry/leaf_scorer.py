@@ -1,0 +1,138 @@
+"""Pareto-optimal leaf selection, as one jitted function.
+
+TPU-native rebuild of the reference ``OptimalLeafSelector``
+(reference scripts/utils/leaf_scorer.py:25-199): tall-leaf split on
+median depth, SDF-extrema clutter score, exponential 3D-distance score,
+border-contact visibility score, Pareto front, weighted argmax.
+
+Design differences from the reference (all behavior-preserving):
+
+* the Python loop over a dynamic leaf list becomes padded per-slot
+  vectors of length ``max_leaves`` (slot i <-> leaf id i+1);
+* ``skfmm.distance`` on the binary background becomes the exact EDT
+  (identical zeros on leaves, near-identical field outside; the scorer
+  only consumes the arg-extrema of this field);
+* the reference multiplies tall-candidate scores by 1.1 before the
+  Pareto test (leaf_scorer.py:157) -- a positive scalar never changes
+  Pareto dominance nor the subsequent (unscaled!) weighted argmax, so
+  the "tall bonus" reduces to the prefer-tall-subset branch, which we
+  implement directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from leafgrasp_tpu.config import LeafSelectionConfig, FrameConfig
+from leafgrasp_tpu.ops.edt import edt
+from leafgrasp_tpu.ops.components import leaf_stats, LeafStats
+from leafgrasp_tpu.ops.pareto import pareto_mask
+
+__all__ = ["LeafSelection", "select_optimal_leaf"]
+
+
+class LeafSelection(NamedTuple):
+    best_leaf_id: jnp.ndarray    # int32 scalar; 0 = no valid leaf
+    found: jnp.ndarray           # bool scalar
+    scores: jnp.ndarray          # (L, 3) [clutter, distance, visibility]
+    weighted: jnp.ndarray        # (L,) weighted sum
+    candidate: jnp.ndarray       # (L,) bool area/validity filter
+    is_tall: jnp.ndarray         # (L,) bool (median depth < mean of medians)
+    on_front: jnp.ndarray        # (L,) bool Pareto front of selected group
+    stats: LeafStats
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "frame"))
+def select_optimal_leaf(mask_ids: jnp.ndarray, depth: jnp.ndarray,
+                        camera_cx, camera_cy, f_norm,
+                        cfg: LeafSelectionConfig = LeafSelectionConfig(),
+                        frame: FrameConfig = FrameConfig()) -> LeafSelection:
+    """Select the optimal leaf id from an instance map + depth frame."""
+    h, w = mask_ids.shape
+    max_leaves = frame.max_leaves
+    depth = jnp.asarray(depth, jnp.float32)
+
+    stats = leaf_stats(mask_ids, depth, max_leaves,
+                       camera_cx, camera_cy, f_norm)
+    present = stats.present
+
+    # --- tall-leaf split (leaf_scorer.py:41-64): median-depth of each leaf
+    # vs the mean of the medians over *all present* leaves (computed before
+    # the area filter in the reference).
+    n_present = jnp.maximum(jnp.sum(present), 1)
+    depth_mean = jnp.sum(jnp.where(present, stats.median_depth, 0.0)) \
+        / n_present
+    is_tall = present & (stats.median_depth < depth_mean)
+
+    # --- global SDF extrema (leaf_scorer.py:66-71): the EDT of the
+    # background w.r.t. all leaves is 0 on leaves; argmin is the first leaf
+    # pixel in row-major order (numpy argmin tie-breaking), argmax the
+    # background pixel farthest from any leaf.
+    fg = jnp.asarray(mask_ids, jnp.int32) > 0
+    global_sdf = edt(fg)
+    amin = jnp.argmin(global_sdf)
+    amax = jnp.argmax(global_sdf)
+    min_y, min_x = (amin // w).astype(jnp.float32), \
+        (amin % w).astype(jnp.float32)
+    max_y, max_x = (amax // w).astype(jnp.float32), \
+        (amax % w).astype(jnp.float32)
+
+    # --- per-leaf scores (leaf_scorer.py:74-138), padded over slots -------
+    candidate = present & (stats.area >= cfg.min_leaf_area)
+
+    dist_to_min = jnp.sqrt((stats.centroid_x - min_x) ** 2
+                           + (stats.centroid_y - min_y) ** 2)
+    dist_to_max = jnp.sqrt((stats.centroid_x - max_x) ** 2
+                           + (stats.centroid_y - max_y) ** 2)
+    total = dist_to_min + dist_to_max
+    clutter = jnp.where(total > 0, dist_to_min / jnp.maximum(total, 1e-30),
+                        0.0)
+
+    # mean 3D distance: mean over pixels of ||(X, Y, Z)|| with the leaf's
+    # *mean* depth broadcast to every pixel (leaf_scorer.py:104-114)
+    # = mean_depth / f * mean(sqrt((x-cx)^2 + (y-cy)^2 + f^2)).
+    mean_distance = stats.mean_depth * stats.mean_ray_norm / f_norm
+    distance_score = jnp.exp(-mean_distance / cfg.distance_scale_m)
+
+    # visibility (leaf_scorer.py:277-305)
+    center_x, center_y = w / 2.0, h / 2.0
+    max_dist = jnp.sqrt(jnp.float32(center_x ** 2 + center_y ** 2))
+    dist_center = jnp.sqrt((stats.centroid_x - center_x) ** 2
+                           + (stats.centroid_y - center_y) ** 2)
+    visibility = jnp.where(stats.border_contact, 0.0,
+                           1.0 - dist_center / max_dist)
+
+    scores = jnp.stack([clutter, distance_score, visibility], axis=-1)
+
+    # --- group choice + Pareto + weighted argmax (leaf_scorer.py:148-182) -
+    tall_cand = candidate & is_tall
+    any_tall = jnp.any(tall_cand)
+    group = jnp.where(any_tall, tall_cand, candidate)
+
+    front = pareto_mask(scores, group)
+    # reference fallback: empty front -> whole group (leaf_scorer.py:166-167)
+    front = jnp.where(jnp.any(front), front, group)
+
+    weights = jnp.array([cfg.clutter_weight, cfg.distance_weight,
+                         cfg.visibility_weight], jnp.float32)
+    weighted = scores @ weights
+    masked_weighted = jnp.where(front, weighted, -jnp.inf)
+    best_slot = jnp.argmax(masked_weighted)
+    found = jnp.any(candidate)
+    best_leaf_id = jnp.where(found, best_slot.astype(jnp.int32) + 1, 0)
+
+    return LeafSelection(
+        best_leaf_id=best_leaf_id,
+        found=found,
+        scores=scores,
+        weighted=weighted,
+        candidate=candidate,
+        is_tall=is_tall,
+        on_front=front,
+        stats=stats,
+    )

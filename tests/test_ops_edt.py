@@ -1,0 +1,83 @@
+"""EDT parity vs scipy (exact) and cv2 DIST_MASK_PRECISE (exact)."""
+
+import numpy as np
+import pytest
+
+import cv2
+import scipy.ndimage as ndi
+
+from leafgrasp_tpu.ops.edt import edt, squared_edt, signed_edt
+
+
+def _scipy_dist_to_seeds(seeds):
+    # scipy: distance from nonzero input to nearest ZERO -> invert seeds.
+    return ndi.distance_transform_edt(~seeds)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_edt_matches_scipy_random(seed, rng):
+    h, w = 93, 131
+    seeds = np.zeros((h, w), bool)
+    pts = rng.integers(0, [h, w], size=(25, 2))
+    seeds[pts[:, 0], pts[:, 1]] = True
+
+    ours = np.asarray(edt(seeds))
+    ref = _scipy_dist_to_seeds(seeds)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_edt_on_leaf_scene(small_scene):
+    mask, _ = small_scene
+    fg = mask > 0
+
+    # distance of background pixels to nearest leaf (skfmm.distance
+    # equivalent used at leaf_scorer.py:66-71)
+    ours = np.asarray(edt(fg))
+    ref = _scipy_dist_to_seeds(fg)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-3)
+
+    # inside-distance (cv2.distanceTransform on the leaf mask,
+    # grasp_point_selector.py:266) -- compare vs cv2 exact mode
+    leaf = (mask == 1).astype(np.uint8)
+    ours_in = np.asarray(edt(~(leaf > 0)))
+    ref_cv = cv2.distanceTransform(leaf, cv2.DIST_L2, cv2.DIST_MASK_PRECISE)
+    np.testing.assert_allclose(ours_in * (leaf > 0), ref_cv, rtol=1e-4,
+                               atol=5e-3)
+
+
+def test_squared_edt_zero_on_seeds():
+    seeds = np.zeros((17, 33), bool)
+    seeds[5, 7] = True
+    d2 = np.asarray(squared_edt(seeds))
+    assert d2[5, 7] == 0.0
+    assert d2[5, 8] == 1.0
+    assert d2[6, 8] == 2.0
+
+
+def test_signed_edt_signs(small_scene):
+    mask, _ = small_scene
+    leaf = mask == 1
+    s = np.asarray(signed_edt(leaf))
+    assert (s[leaf] >= 0).all()
+    assert (s[~leaf] <= 0).all()
+    # parity vs the reference construction dist_in - dist_out
+    din = cv2.distanceTransform(leaf.astype(np.uint8), cv2.DIST_L2,
+                                cv2.DIST_MASK_PRECISE)
+    dout = cv2.distanceTransform((~leaf).astype(np.uint8), cv2.DIST_L2,
+                                 cv2.DIST_MASK_PRECISE)
+    np.testing.assert_allclose(s, din - dout, rtol=1e-4, atol=5e-3)
+
+
+def test_no_seeds_gives_large_sentinel():
+    seeds = np.zeros((8, 8), bool)
+    d2 = np.asarray(squared_edt(seeds))
+    assert np.isfinite(d2).all()
+    assert (d2 >= 64).all()
+
+
+def test_odd_sizes_and_chunk_remainder():
+    seeds = np.zeros((13, 157), bool)
+    seeds[4, 100] = True
+    ours = np.asarray(edt(seeds, chunk=32))
+    ref = _scipy_dist_to_seeds(seeds)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)

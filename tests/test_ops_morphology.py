@@ -1,0 +1,64 @@
+"""Morphology parity vs OpenCV (kernels, dilate, erode, borders)."""
+
+import numpy as np
+import pytest
+import cv2
+
+from leafgrasp_tpu.ops.morphology import (elliptical_kernel, dilate, erode,
+                                          morphological_boundary)
+
+
+@pytest.mark.parametrize("size", [(3, 3), (5, 5), (15, 15), (30, 30),
+                                  (40, 40), (21, 21), (31, 31), (7, 11)])
+def test_elliptical_kernel_matches_cv2(size):
+    ref = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, size)
+    ours = elliptical_kernel(size[0], size[1])
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("ksize", [3, 5, 15, 30])
+def test_dilate_matches_cv2(ksize, small_scene):
+    mask, _ = small_scene
+    m = (mask == 2).astype(np.uint8)
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (ksize, ksize))
+    ref = cv2.dilate(m, k)
+    ours = np.asarray(dilate(m > 0, elliptical_kernel(ksize))).astype(np.uint8)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("ksize", [3, 5, 15, 21])
+def test_erode_matches_cv2(ksize, small_scene):
+    mask, _ = small_scene
+    m = (mask > 0).astype(np.uint8)
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (ksize, ksize))
+    ref = cv2.erode(m, k)
+    ours = np.asarray(erode(m > 0, elliptical_kernel(ksize))).astype(np.uint8)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_erode_border_semantics():
+    # A mask touching the image border must NOT erode at the border
+    # (OpenCV treats out-of-bounds as foreground for erosion).
+    m = np.ones((20, 20), np.uint8)
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+    ref = cv2.erode(m, k)
+    ours = np.asarray(erode(m > 0, elliptical_kernel(5))).astype(np.uint8)
+    np.testing.assert_array_equal(ours, ref)
+    assert ours.all()  # nothing eroded
+
+
+def test_dilate_border_semantics():
+    m = np.zeros((10, 10), np.uint8)
+    m[0, 0] = 1
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+    ref = cv2.dilate(m, k)
+    ours = np.asarray(dilate(m > 0, elliptical_kernel(3))).astype(np.uint8)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_boundary_band(small_scene):
+    mask, _ = small_scene
+    m = mask == 1
+    band = np.asarray(morphological_boundary(m))
+    assert band.sum() > 0
+    assert (band & ~m).sum() == 0  # band lies inside the mask
