@@ -1,0 +1,142 @@
+"""GraspPointCNN: self-supervised grasp-quality attention CNN, in Flax.
+
+TPU-native rebuild of the reference model (ml_grasp_optimizer/model.py:5-128):
+9-channel 32x32 patches -> configurable Conv-BN-ReLU x2 + maxpool +
+dropout encoder blocks -> {spatial | channel | hybrid | none} attention ->
+GAP -> BN-MLP classifier -> single logit.
+
+Differences by design:
+* NHWC layout (TPU-preferred) instead of NCHW;
+* all candidate patches are scored in ONE batched forward (the reference
+  runs 20 sequential forwards, SURVEY.md section 3.1);
+* weights initialize with the same Kaiming scheme (fan-out for convs,
+  fan-in for dense, zeros bias -- model.py:89-100).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from leafgrasp_tpu.config import ModelConfig
+
+__all__ = ["GraspPointCNN", "init_grasp_cnn", "ml_scores_from_logits",
+           "ARCHITECTURES"]
+
+# The 4 encoder architectures swept by the reference
+# (mlflow_experiment_configs.py:84-116).
+ARCHITECTURES = {
+    "lightweight": (32, 64, 128),
+    "standard": (64, 128, 256),
+    "deep": (32, 64, 128, 256),
+    "wide": (128, 256, 512),
+}
+
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out",
+                                              "truncated_normal")
+_dense_init = nn.initializers.variance_scaling(2.0, "fan_in",
+                                               "truncated_normal")
+# Attention projections feed a sigmoid gate: Kaiming fan-out on a 1-channel
+# 1x1 conv gives std sqrt(2) and saturates the gate at init (the torch
+# reference carries the same latent hazard, model.py:33-36+92). LeCun
+# fan-in keeps the gate in its linear region -- documented divergence.
+_gate_init = nn.initializers.variance_scaling(1.0, "fan_in",
+                                              "truncated_normal")
+
+
+class _EncoderBlock(nn.Module):
+    filters: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for _ in range(2):
+            x = nn.Conv(self.filters, (3, 3), padding="SAME",
+                        kernel_init=_conv_init)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class _SpatialAttention(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        w = nn.Conv(1, (1, 1), kernel_init=_gate_init)(x)
+        return x * nn.sigmoid(w)
+
+
+class _ChannelAttention(nn.Module):
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)     # GAP
+        w = nn.Conv(max(c // self.reduction, 1), (1, 1),
+                    kernel_init=_gate_init)(squeezed)
+        w = nn.relu(w)
+        w = nn.Conv(c, (1, 1), kernel_init=_gate_init)(w)
+        return x * nn.sigmoid(w)
+
+
+class GraspPointCNN(nn.Module):
+    cfg: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (N, P, P, C) NHWC float32 -> (N, 1) logits."""
+        cfg = self.cfg
+        for filters in cfg.encoder_filters:
+            x = _EncoderBlock(filters, cfg.conv_dropout)(x, train)
+
+        if cfg.attention_type == "spatial":
+            x = _SpatialAttention()(x)
+        elif cfg.attention_type == "channel":
+            x = _ChannelAttention(cfg.se_reduction)(x)
+        elif cfg.attention_type == "hybrid":
+            w_s = nn.Conv(1, (1, 1), kernel_init=_gate_init)(x)
+            squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)
+            c = x.shape[-1]
+            w_c = nn.Conv(max(c // cfg.se_reduction, 1), (1, 1),
+                          kernel_init=_gate_init)(squeezed)
+            w_c = nn.relu(w_c)
+            w_c = nn.Conv(c, (1, 1), kernel_init=_gate_init)(w_c)
+            x = x * nn.sigmoid(w_s) * nn.sigmoid(w_c)
+        elif cfg.attention_type != "none":
+            raise ValueError(f"unknown attention {cfg.attention_type!r}")
+
+        x = jnp.mean(x, axis=(1, 2))                           # GAP -> (N, C)
+
+        final = cfg.encoder_filters[-1]
+        widths = (final, final // 2, final // 4)
+        for width, drop in zip(widths, cfg.fc_dropout):
+            x = nn.Dense(width, kernel_init=_dense_init)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(drop, deterministic=not train)(x)
+        return nn.Dense(1, kernel_init=_dense_init)(x)
+
+    def num_params(self, variables) -> int:
+        return sum(p.size for p in jax.tree.leaves(variables["params"]))
+
+
+def init_grasp_cnn(rng, cfg: ModelConfig = ModelConfig(), patch_size: int = 32):
+    """Initialize variables (params + batch_stats)."""
+    model = GraspPointCNN(cfg)
+    dummy = jnp.zeros((1, patch_size, patch_size, cfg.in_channels),
+                      jnp.float32)
+    variables = model.init({"params": rng}, dummy, train=False)
+    return model, variables
+
+
+def ml_scores_from_logits(logits: jnp.ndarray,
+                          spread_scale: float = 3.0) -> jnp.ndarray:
+    """sigmoid -> tanh spread, exactly as served
+    (grasp_point_selector.py:133-136)."""
+    s = jax.nn.sigmoid(logits.reshape(-1))
+    return jnp.tanh(s * spread_scale) * 0.5 + 0.5

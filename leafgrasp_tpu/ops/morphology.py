@@ -4,15 +4,22 @@ Replaces ``cv2.dilate`` / ``cv2.erode`` with elliptical kernels
 (reference grasp_point_selector.py:601-616,696-699,705-711,778-779 and
 data_collector.py:428-452).
 
-Dilation/erosion of a binary mask by a 0/1 structuring element (SE) is
-expressed as a single 2D correlation (one fused XLA/MXU op) followed by a
-threshold -- no scalar loops, static shapes, jit-friendly.
+TPU-native formulation: a naive kxk correlation of a single-channel mask
+cannot use the MXU and costs O(H*W*k^2) VPU work (measured ~0.8-1.4 s per
+30-40 px kernel at 1080x1440).  Instead, every OpenCV SE row is a
+contiguous symmetric run of half-width dx(dy), so
+
+    dilated(y, x) = OR_dy [ hdist(y + dy, x) <= dx(dy) ]
+
+where ``hdist`` is the 1D along-row distance to the nearest mask pixel --
+computed ONCE with a log-depth associative scan -- followed by k shifted
+compares: O(H*W*(k + log W)) elementwise work, microseconds on TPU, and
+bit-exact OpenCV parity because dx(dy) is OpenCV's own rasterization.
 
 Border semantics match OpenCV's defaults exactly:
 * dilate: out-of-bounds treated as 0 (``BORDER_CONSTANT`` with -inf),
 * erode:  out-of-bounds treated as 1 (``BORDER_CONSTANT`` with +inf),
-implemented via the duality ``erode(m) = ~dilate(~m)`` (the elliptical SEs
-used here are symmetric, so no kernel flip is needed).
+implemented via the duality ``erode(m) = ~dilate(~m)``.
 """
 
 from __future__ import annotations
@@ -61,31 +68,78 @@ def rect_kernel(width: int, height: int | None = None) -> np.ndarray:
     return np.ones((height, width), dtype=np.uint8)
 
 
-def _binary_correlate(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """SAME-padded 2D correlation of a 0/1 mask with a 0/1 kernel.
+def _row_runs(kernel: np.ndarray):
+    """Decompose a 0/1 SE into per-row contiguous runs.
 
-    Padding offsets match OpenCV's anchor convention (anchor at
-    (kw//2, kh//2)): for even kernel sizes the extra pad goes *before*,
-    because correlation at pixel p reads p + (offset - anchor) for
-    offset in [0, k).
+    OpenCV dilation: dst(y,x) = max over SE elements (i,j) of
+    src(y + i - ay, x + j - ax), anchor (ay, ax) = (kh//2, kw//2).
+    So dst(y,x) is set iff a seed exists in src row y + (i - ay) within
+    column window [x + lo, x + hi], lo = cols[0]-ax <= 0 <= hi =
+    cols[-1]-ax (every ellipse row straddles its anchor column).
+    Returns (dy_src, reach_left, reach_right) = (i - ay, -lo, hi).
     """
     kh, kw = kernel.shape
-    x = jnp.asarray(mask, jnp.float32)[None, None]       # NCHW
-    k = jnp.asarray(kernel, jnp.float32)[None, None]     # OIHW
-    out = jax.lax.conv_general_dilated(
-        x, k,
-        window_strides=(1, 1),
-        padding=((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0, 0]
+    ay, ax = kh // 2, kw // 2
+    runs = []
+    for i in range(kh):
+        cols = np.flatnonzero(kernel[i])
+        if cols.size == 0:
+            continue
+        if not np.array_equal(cols, np.arange(cols[0], cols[-1] + 1)):
+            raise ValueError("structuring element rows must be contiguous")
+        lo = int(cols[0] - ax)
+        hi = int(cols[-1] - ax)
+        if lo > 0 or hi < 0:
+            raise ValueError("SE row must straddle the anchor column")
+        runs.append((i - ay, -lo, hi))
+    return runs
+
+
+def _directional_hdist(mask: jnp.ndarray):
+    """(dist to nearest seed at-or-left, at-or-right) along each row,
+    via log-depth associative scans. Large sentinel where no seed."""
+    seeds = jnp.asarray(mask, bool)
+    h, w = seeds.shape
+    big = jnp.int32(h + w)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    left = jnp.where(seeds, idx, jnp.int32(-1))
+    left = jax.lax.associative_scan(jnp.maximum, left, axis=1)
+    d_left = jnp.where(left >= 0, idx - left, big)
+    right = jnp.where(seeds, idx, jnp.int32(2 * w))
+    right = jax.lax.associative_scan(jnp.minimum, right, axis=1,
+                                     reverse=True)
+    d_right = jnp.where(right < 2 * w, right - idx, big)
+    return d_left, d_right
+
+
+def _shift_rows(arr: jnp.ndarray, dy: int, fill) -> jnp.ndarray:
+    """out[y] = arr[y + dy] with `fill` rows where y + dy is OOB."""
+    if dy == 0:
+        return arr
+    h, w = arr.shape
+    pad = jnp.full((abs(dy), w), fill, dtype=arr.dtype)
+    if dy > 0:
+        return jnp.concatenate([arr[dy:], pad], axis=0)
+    return jnp.concatenate([pad, arr[:dy]], axis=0)
+
+
+def _dilate_impl(mask: jnp.ndarray, runs, h: int, w: int) -> jnp.ndarray:
+    d_left, d_right = _directional_hdist(mask)
+    big = jnp.int32(h + w)
+    out = jnp.zeros((h, w), bool)
+    for dy_src, reach_left, reach_right in runs:
+        dl = _shift_rows(d_left, dy_src, big)
+        dr = _shift_rows(d_right, dy_src, big)
+        out = out | (dl <= reach_left) | (dr <= reach_right)
+    return out
 
 
 def dilate(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     """Binary dilation; returns bool (H, W). OOB pixels are background."""
-    counts = _binary_correlate(jnp.asarray(mask, bool), kernel)
-    return counts > 0.5
+    m = jnp.asarray(mask, bool)
+    h, w = m.shape
+    runs = tuple(_row_runs(np.asarray(kernel)))
+    return _dilate_impl(m, runs, h, w)
 
 
 def erode(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:

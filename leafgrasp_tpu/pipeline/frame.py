@@ -1,0 +1,125 @@
+"""End-to-end frame pipeline: one jitted function from (mask, depth, P)
+to (leaf id, grasp pixel, 3D grasp, pre-grasp).
+
+This is the TPU-native equivalent of the reference's production node flow
+(leaf_grasp_node_v3.py:102-158 -> leaf_scorer -> grasp_point_selector),
+with zero host round-trips inside the frame: leaf selection, all score
+maps, spaced top-k, batched CNN scoring, fusion and 3D lifting compile
+into a single XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from leafgrasp_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from leafgrasp_tpu.geometry.leaf_scorer import select_optimal_leaf, \
+    LeafSelection
+from leafgrasp_tpu.geometry.grasp_scorer import compute_grasp_scores, \
+    GraspScores
+from leafgrasp_tpu.geometry.patches import assemble_cnn_inputs
+from leafgrasp_tpu.geometry.lift3d import lift_to_3d, pre_grasp_point
+from leafgrasp_tpu.models.grasp_cnn import GraspPointCNN, \
+    ml_scores_from_logits
+from leafgrasp_tpu.ops.topk import topk_min_distance, Candidates
+from leafgrasp_tpu.pipeline.fusion import fuse_candidates, FusionResult
+
+__all__ = ["FrameResult", "select_grasp", "make_frame_fn"]
+
+
+class FrameResult(NamedTuple):
+    found: jnp.ndarray           # bool: a leaf was selected
+    leaf_id: jnp.ndarray         # int32 (0 if none)
+    grasp_uv: jnp.ndarray        # (2,) int32 pixel (u, v)
+    grasp_xyz: jnp.ndarray       # (3,) float32 camera-frame metres
+    pre_grasp_xyz: jnp.ndarray   # (3,) float32
+    ml_used: jnp.ndarray         # bool
+    candidates: Candidates       # the spaced top-k set
+    fusion: FusionResult
+    leaf_selection: LeafSelection
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cnn_apply"))
+def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
+                 camera_cx, camera_cy, f_norm,
+                 cnn_variables=None, cnn_apply=None,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> FrameResult:
+    """Full grasp selection for one frame.
+
+    cnn_apply : optional static callable (variables, feats) -> logits.
+        When None the pipeline runs CV-only, mirroring the reference's
+        graceful degradation when no checkpoint exists
+        (grasp_point_selector.py:43-57).
+    """
+    mask_ids = jnp.asarray(mask_ids, jnp.int32)
+    depth = jnp.asarray(depth, jnp.float32)
+
+    sel = select_optimal_leaf(mask_ids, depth, camera_cx, camera_cy,
+                              f_norm, cfg=cfg.leaf, frame=cfg.frame)
+    leaf = mask_ids == sel.best_leaf_id
+    all_mask = mask_ids > 0
+
+    scores = compute_grasp_scores(leaf, all_mask, depth, camera_cx,
+                                  camera_cy, f_norm, cfg=cfg.grasp)
+    cand = topk_min_distance(scores.traditional_score, scores.valid_region,
+                             k=cfg.grasp.top_k,
+                             min_distance=cfg.grasp.min_candidate_distance)
+
+    if cnn_apply is not None:
+        feats = assemble_cnn_inputs(depth, leaf, scores, cand.x, cand.y,
+                                    cfg.fusion.patch_size)
+        logits = cnn_apply(cnn_variables, feats)
+        ml = ml_scores_from_logits(logits, cfg.fusion.score_spread_scale)
+        fusion = fuse_candidates(cand.score, ml, cand.accepted, True,
+                                 cfg.fusion)
+    else:
+        zeros = jnp.zeros_like(cand.score)
+        fusion = fuse_candidates(cand.score, zeros, cand.accepted, False,
+                                 cfg.fusion)
+
+    u = cand.x[fusion.best_index]
+    v = cand.y[fusion.best_index]
+    grasp_xyz = lift_to_3d(u.astype(jnp.float32), v.astype(jnp.float32),
+                           depth[v, u], camera_cx, camera_cy, f_norm)
+    pre = pre_grasp_point(grasp_xyz, leaf, camera_cx, camera_cy, f_norm,
+                          cfg=cfg.pregrasp)
+
+    return FrameResult(
+        found=sel.found & cand.accepted[0],
+        leaf_id=sel.best_leaf_id,
+        grasp_uv=jnp.stack([u, v]),
+        grasp_xyz=grasp_xyz,
+        pre_grasp_xyz=pre.point,
+        ml_used=fusion.ml_used,
+        candidates=cand,
+        fusion=fusion,
+        leaf_selection=sel,
+    )
+
+
+def make_frame_fn(cfg: PipelineConfig = DEFAULT_CONFIG,
+                  with_cnn: bool = False):
+    """Build a jit-ready frame function (and CNN apply fn if requested).
+
+    Returns ``fn(mask, depth, cx, cy, f[, cnn_variables])`` closing over
+    the static config, suitable for compile-once serving.
+    """
+    if not with_cnn:
+        def fn(mask_ids, depth, cx, cy, f):
+            return select_grasp(mask_ids, depth, cx, cy, f, cfg=cfg)
+        return fn
+
+    model = GraspPointCNN(cfg.model)
+
+    def cnn_apply(variables, feats):
+        return model.apply(variables, feats, train=False)
+
+    def fn(mask_ids, depth, cx, cy, f, cnn_variables):
+        return select_grasp(mask_ids, depth, cx, cy, f,
+                            cnn_variables=cnn_variables,
+                            cnn_apply=cnn_apply, cfg=cfg)
+    return fn

@@ -7,7 +7,7 @@ multi-chip path; bench.py runs on the real chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: the suite re-jits the same static shapes on
 # every run; caching cuts wall-clock by an order of magnitude.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -17,6 +17,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the 'axon' TPU backend and
+# forces jax_platforms='axon,cpu'; override it after import so the suite
+# runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,202 @@
+"""Data collector, trainer, sweep, checkpoint, verify_data tests."""
+
+import numpy as np
+import jax
+import pytest
+
+from leafgrasp_tpu.config import ModelConfig, TrainConfig
+from leafgrasp_tpu.geometry.grasp_scorer import compute_grasp_scores
+from leafgrasp_tpu.io.scenes import make_leaf_scene
+from leafgrasp_tpu.training.data_collector import GraspDataCollector
+from leafgrasp_tpu.training.train import (Trainer, bce_with_logits,
+                                          analyze_predictions,
+                                          normalize_dataset)
+from leafgrasp_tpu.training.verify_data import verify_dataset
+from leafgrasp_tpu.training.experiments import (generate_experiment_configs,
+                                                ExperimentTracker, run_sweep)
+
+CX, CY, F = 180.0, 135.0, 800.0
+
+
+@pytest.fixture(scope="module")
+def collected(tmp_path_factory):
+    mask, depth = make_leaf_scene(height=270, width=360, num_leaves=4,
+                                  seed=3, margin=40)
+    leaf = mask == 3
+    scores = compute_grasp_scores(leaf, mask > 0, depth, CX, CY, F)
+    coll = GraspDataCollector(str(tmp_path_factory.mktemp("data")),
+                              resume=False, save_every=1)
+    ys, xs = np.where(leaf)
+    for i in (len(xs) // 3, len(xs) // 2, 2 * len(xs) // 3):
+        ok = coll.collect_sample(leaf, depth, scores,
+                                 (int(xs[i]), int(ys[i])), 0.8)
+        assert ok
+    return coll
+
+
+def test_collector_counts_and_labels(collected):
+    ds = collected.dataset()
+    # 3 positives, each with 3 augmentations
+    assert collected.stats["positive_samples"] == 3
+    assert collected.stats["augmented_samples"] == 9
+    assert collected.stats["negative_samples"] >= 3
+    assert (ds["labels"] == 1).sum() == 12
+    assert ds["depth_patches"].shape[1:] == (32, 32)
+    assert ds["score_patches"].shape[1] == 7
+
+
+def test_collector_augmentation_is_rotation(collected):
+    ds = collected.dataset()
+    pos = np.where((ds["labels"] == 1) & ~ds["is_augmented"])[0][0]
+    augs = np.where(ds["is_augmented"])[0][:3]
+    base = ds["mask_patches"][pos]
+    rots = [np.rot90(base, k) for k in (1, 2, 3)]
+    for a, r in zip(augs, rots):
+        np.testing.assert_array_equal(ds["mask_patches"][a], r)
+
+
+def test_collector_resume_roundtrip(collected, tmp_path):
+    collected.save()
+    reloaded = GraspDataCollector(collected.data_dir, resume=True)
+    assert len(reloaded.samples) == len(collected.samples)
+    assert reloaded.stats == collected.stats
+
+
+def test_verify_dataset(collected):
+    report = verify_dataset(collected.dataset())
+    assert report["ok"], report["problems"]
+    assert report["num_samples"] == len(collected.samples)
+
+
+def test_collector_rejects_border_points(tmp_path):
+    mask, depth = make_leaf_scene(height=270, width=360, num_leaves=4,
+                                  seed=3, margin=40)
+    scores = compute_grasp_scores(mask == 3, mask > 0, depth, CX, CY, F)
+    coll = GraspDataCollector(str(tmp_path), resume=False)
+    assert not coll.collect_sample(mask == 3, depth, scores, (3, 3), 0.5)
+
+
+# ----------------------------------------------------------------- train --
+
+def _synthetic_dataset(n=64, seed=0):
+    """Separable toy set: positives have a bright center blob."""
+    rng = np.random.default_rng(seed)
+    labels = (rng.random(n) > 0.45).astype(np.int32)
+    depth = rng.normal(0.5, 0.05, (n, 32, 32)).astype(np.float32)
+    maskp = np.ones((n, 32, 32), np.float32)
+    scorep = rng.normal(0, 0.3, (n, 7, 32, 32)).astype(np.float32)
+    for i in range(n):
+        if labels[i]:
+            scorep[i, :, 12:20, 12:20] += 2.0
+    return {"depth_patches": depth, "mask_patches": maskp,
+            "score_patches": scorep, "labels": labels}
+
+
+def test_bce_matches_torch():
+    import torch
+    logits = np.array([-1.5, 0.3, 2.0, -0.2], np.float32)
+    labels = np.array([0.0, 1.0, 1.0, 0.0], np.float32)
+    ours = float(bce_with_logits(jax.numpy.asarray(logits),
+                                 jax.numpy.asarray(labels), 2.0))
+    ref = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor([2.0]))(
+        torch.tensor(logits), torch.tensor(labels)).item()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_analyze_predictions_matches_reference_quirk():
+    # thresholds LOGITS at 0.5 (reference quirk, train_model.py:66,295)
+    logits = np.array([0.6, 0.4, 2.0, -1.0])
+    labels = np.array([1.0, 1.0, 0.0, 0.0])
+    m = analyze_predictions(logits, labels)
+    assert m["confusion_matrix"] == {"true_positive": 1,
+                                     "false_positive": 1,
+                                     "false_negative": 1,
+                                     "true_negative": 1}
+
+
+def test_normalize_dataset_stats():
+    ds = _synthetic_dataset(32)
+    dn, sn, stats = normalize_dataset(
+        jax.numpy.asarray(ds["depth_patches"]),
+        jax.numpy.asarray(ds["score_patches"]))
+    assert abs(float(dn.mean())) < 1e-4
+    assert abs(float(dn.std()) - 1.0) < 1e-3
+    per_ch = np.asarray(sn).mean(axis=(0, 2, 3))
+    np.testing.assert_allclose(per_ch, 0.0, atol=1e-4)
+
+
+def test_trainer_learns_separable_toy():
+    # dropout off: this test checks optimization mechanics, not
+    # regularization noise (the reference's 0.5-heavy dropout needs
+    # hundreds of epochs on a toy set)
+    ds = _synthetic_dataset(96)
+    trainer = Trainer(
+        model_cfg=ModelConfig(encoder_filters=(8, 16),
+                              attention_type="spatial",
+                              conv_dropout=0.0, fc_dropout=(0.0, 0.0, 0.0)),
+        cfg=TrainConfig(batch_size=16, learning_rate=1e-3))
+    res = trainer.fit(ds, epochs=15)
+    assert res.best_val_loss < 1.1
+    # training loss clearly below the first epoch by the end
+    assert min(res.history["train_loss"][-3:]) \
+        < res.history["train_loss"][0] * 0.8
+
+
+def test_trainer_data_parallel_matches_shapes():
+    from leafgrasp_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(4, model_axis=1)
+    ds = _synthetic_dataset(48)
+    trainer = Trainer(model_cfg=ModelConfig(encoder_filters=(8,)),
+                      cfg=TrainConfig(batch_size=8), mesh=mesh)
+    res = trainer.fit(ds, epochs=2)
+    assert np.isfinite(res.best_val_loss)
+
+
+# ------------------------------------------------------------ experiments --
+
+def test_sweep_generates_64_configs():
+    configs = generate_experiment_configs()
+    assert len(configs) == 64
+    assert len({c.name for c in configs}) == 64
+    atts = {c.attention_type for c in configs}
+    assert atts == {"spatial", "channel", "hybrid", "none"}
+
+
+def test_sweep_runs_and_ranks(tmp_path):
+    ds = _synthetic_dataset(48)
+    tracker = ExperimentTracker(str(tmp_path))
+    configs = [c for c in generate_experiment_configs()
+               if c.architecture == "lightweight"][:2]
+    run_sweep(ds, tracker, configs=configs, epochs=2)
+    runs = tracker.runs()
+    assert len(runs) == 2
+    top = tracker.top_k(1)
+    assert top[0]["final"]["f1_score"] >= runs[-1]["final"]["f1_score"] \
+        or top[0]["final"]["f1_score"] >= runs[0]["final"]["f1_score"]
+    import os
+    assert os.path.exists(tracker.write_summary())
+
+
+# ------------------------------------------------------------- checkpoint --
+
+def test_checkpoint_roundtrip(tmp_path):
+    from leafgrasp_tpu.training.checkpoint import (save_checkpoint,
+                                                   load_checkpoint)
+    from leafgrasp_tpu.models.grasp_cnn import init_grasp_cnn
+    from leafgrasp_tpu.training.train import NormStats
+    import jax.numpy as jnp
+
+    _, variables = init_grasp_cnn(jax.random.PRNGKey(0),
+                                  ModelConfig(encoder_filters=(8,)))
+    stats = NormStats(jnp.float32(0.5), jnp.float32(0.1),
+                      jnp.zeros(7), jnp.ones(7))
+    path = save_checkpoint(str(tmp_path / "ckpt"), variables["params"],
+                           variables["batch_stats"], norm_stats=stats,
+                           metrics={"f1_score": 93.1}, epoch=7)
+    restored = load_checkpoint(path)
+    assert restored["meta"]["metrics"]["f1_score"] == 93.1
+    assert int(restored["epoch"]) == 7
+    orig = jax.tree.leaves(variables["params"])
+    back = jax.tree.leaves(restored["params"])
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
