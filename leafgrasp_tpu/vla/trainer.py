@@ -1,0 +1,254 @@
+"""VLA LoRA fine-tuning pipeline.
+
+Rebuild of vla_system/vla_trainer.py + training/aws_vla_training.py:
+candidate *rankings* become per-candidate target scores
+1 - position/len (vla_trainer.py:72-78); the LM is fine-tuned with
+LoRA-only gradients (base frozen via an optax mask) to emit the target
+decimal after the evaluation prompt; evaluation reports top-1 ranking
+accuracy and Spearman correlation (aws_vla_training.py:160-204).
+
+Unlike the reference's *simulated* production trainer
+(vla_production_training.py:184-218 computes losses in closed form with
+no model in the loop -- see SURVEY.md 2.7), this loop runs real
+forward/backward passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from leafgrasp_tpu.vla.lm import (TinyVLA, VLAModelConfig, ByteTokenizer,
+                                  init_vla)
+from leafgrasp_tpu.vla.lora import lora_mask, extract_lora_params, \
+    merge_lora_params
+from leafgrasp_tpu.vla.processor import build_prompt
+
+__all__ = ["VLATrainer", "make_synthetic_vla_dataset",
+           "spearman_correlation"]
+
+
+def spearman_correlation(a, b) -> float:
+    ar = np.argsort(np.argsort(a))
+    br = np.argsort(np.argsort(b))
+    if np.std(ar) == 0 or np.std(br) == 0:
+        return 0.0
+    return float(np.corrcoef(ar, br)[0, 1])
+
+
+def make_synthetic_vla_dataset(num_samples: int = 50, seed: int = 0,
+                               num_candidates: int = 5,
+                               image_size: int = 64) -> List[Dict]:
+    """Synthetic ellipse-leaf scenes with weighted ground-truth ranking
+    (weights 0.35/0.35/0.3 clutter/distance/visibility,
+    aws_vla_training.py:36-101)."""
+    rng = np.random.default_rng(seed)
+    samples = []
+    for _ in range(num_samples):
+        img = rng.uniform(0.1, 0.3, (image_size, image_size, 3)) \
+            .astype(np.float32)
+        candidates = []
+        margin = max(2, min(8, image_size // 4))
+        for _ in range(num_candidates):
+            cx, cy = rng.integers(margin, image_size - margin, 2)
+            clutter = float(rng.uniform(0.2, 1.0))
+            distance = float(rng.uniform(0.2, 1.0))
+            visibility = float(rng.uniform(0.2, 1.0))
+            gt = 0.35 * clutter + 0.35 * distance + 0.3 * visibility
+            img[max(cy - 4, 0):cy + 4, max(cx - 4, 0):cx + 4, 1] += 0.4
+            candidates.append(dict(
+                x=int(cx), y=int(cy), clutter_score=clutter,
+                distance_score=distance, visibility_score=visibility,
+                geometric_score=gt))
+        ranking = list(np.argsort([-c["geometric_score"]
+                                   for c in candidates]))
+        samples.append(dict(image=np.clip(img, 0, 1),
+                            candidates=candidates,
+                            ranking=[int(r) for r in ranking]))
+    return samples
+
+
+def ranking_to_targets(ranking: List[int]) -> Dict[int, float]:
+    """candidate index -> target score 1 - pos/len
+    (vla_trainer.py:72-78)."""
+    n = len(ranking)
+    return {int(idx): 1.0 - pos / n for pos, idx in enumerate(ranking)}
+
+
+@dataclasses.dataclass
+class VLATrainer:
+    cfg: VLAModelConfig = VLAModelConfig(lora_rank=8, lora_alpha=32.0,
+                                         lora_dropout=0.1)
+    learning_rate: float = 5e-5
+    seed: int = 0
+    max_prompt_len: int = 512
+
+    def __post_init__(self):
+        self.tokenizer = ByteTokenizer()
+        self.model, self.variables = init_vla(
+            jax.random.PRNGKey(self.seed), self.cfg)
+        self._step_fn = None
+        self._opt = None
+
+    # ------------------------------------------------------------ data --
+
+    def _example(self, sample: Dict, cand_idx: int, target: float):
+        prompt = build_prompt(sample["candidates"][cand_idx],
+                              "Select the best leaf for grasping")
+        answer = f"{target:.2f}"
+        p_ids = self.tokenizer.encode(prompt)
+        a_ids = self.tokenizer.encode(answer, add_bos=False)
+        ids = np.concatenate([p_ids, a_ids,
+                              [self.tokenizer.eos]]).astype(np.int32)
+        # loss only on the answer + EOS tokens
+        loss_mask = np.zeros(len(ids), np.float32)
+        loss_mask[len(p_ids):] = 1.0
+        return ids, loss_mask, sample["image"]
+
+    def _pad_batch(self, examples, pad_to: int):
+        B = len(examples)
+        toks = np.zeros((B, pad_to), np.int32)
+        mask = np.zeros((B, pad_to), np.float32)
+        imgs = np.zeros((B, self.cfg.vision_patch, self.cfg.vision_patch,
+                         3), np.float32)
+        for i, (ids, lm, img) in enumerate(examples):
+            if len(ids) > pad_to:
+                # keep the answer: truncate the prompt from the LEFT
+                ids, lm = ids[-pad_to:], lm[-pad_to:]
+            n = len(ids)
+            toks[i, :n] = ids
+            mask[i, :n] = lm
+            imgs[i] = _resize(img, self.cfg.vision_patch)
+        return jnp.asarray(toks), jnp.asarray(mask), jnp.asarray(imgs)
+
+    # ----------------------------------------------------------- train --
+
+    def _build_step(self):
+        # LoRA-only training: frozen base gets set_to_zero (optax.masked
+        # would pass raw gradients through to unmasked params).
+        mask_tree = lora_mask(self.variables["params"])
+        labels = jax.tree.map(lambda m: "lora" if m else "frozen",
+                              mask_tree)
+        tx = optax.multi_transform(
+            {"lora": optax.adamw(self.learning_rate),
+             "frozen": optax.set_to_zero()}, labels)
+        opt_state = tx.init(self.variables["params"])
+        model = self.model
+        vt = self.cfg.vision_tokens
+
+        def loss_fn(params, toks, lmask, imgs, rng):
+            logits, _ = model.apply(
+                {"params": params}, toks[:, :-1], image=imgs,
+                train=True, rngs={"dropout": rng})
+            # strip vision prefix rows; next-token prediction
+            logits = logits[:, vt:, :]
+            targets = toks[:, 1:]
+            lm = lmask[:, 1:]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None],
+                                       axis=-1)[..., 0]
+            return jnp.sum(nll * lm) / jnp.maximum(jnp.sum(lm), 1.0)
+
+        @jax.jit
+        def step(params, opt_state, toks, lmask, imgs, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, toks, lmask,
+                                                      imgs, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step, opt_state
+
+    def fine_tune(self, samples: List[Dict], epochs: int = 1,
+                  batch_size: int = 4, log_fn=None) -> Dict:
+        examples = []
+        for s in samples:
+            targets = ranking_to_targets(s["ranking"])
+            for idx, tgt in targets.items():
+                examples.append(self._example(s, idx, tgt))
+        pad_to = min(self.max_prompt_len,
+                     max(len(e[0]) for e in examples))
+
+        step, opt_state = self._build_step()
+        params = self.variables["params"]
+        rng = jax.random.PRNGKey(self.seed + 1)
+        history = []
+        n = len(examples)
+        order = np.arange(n)
+        np_rng = np.random.default_rng(self.seed)
+        for epoch in range(epochs):
+            np_rng.shuffle(order)
+            losses = []
+            for s0 in range(0, n - batch_size + 1, batch_size):
+                batch = [examples[i] for i in order[s0:s0 + batch_size]]
+                toks, lmask, imgs = self._pad_batch(batch, pad_to)
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = step(params, opt_state, toks,
+                                               lmask, imgs, sub)
+                losses.append(float(loss))
+            ep_loss = float(np.mean(losses)) if losses else float("nan")
+            history.append(ep_loss)
+            if log_fn:
+                log_fn(epoch=epoch, loss=ep_loss)
+        self.variables = {"params": params}
+        return {"loss_history": history, "final_loss": history[-1]}
+
+    # ------------------------------------------------------------ eval --
+
+    def evaluate(self, samples: List[Dict]) -> Dict:
+        """Top-1 ranking accuracy + mean Spearman vs ground truth
+        (aws_vla_training.py:160-204), using the trained scorer."""
+        from leafgrasp_tpu.vla.processor import TinyVLAScorer
+        scorer = TinyVLAScorer(self.model, self.variables)
+        top1, spear = [], []
+        for s in samples:
+            scores = scorer.score(s["image"], s["candidates"],
+                                  "Select the best leaf for grasping")
+            gt = [c["geometric_score"] for c in s["candidates"]]
+            top1.append(int(np.argmax(scores)) == int(np.argmax(gt)))
+            spear.append(spearman_correlation(scores, gt))
+        return {"top1_accuracy": float(np.mean(top1)),
+                "spearman": float(np.mean(spear))}
+
+    # ------------------------------------------------------- adapters --
+
+    def save_adapter(self, path: str):
+        import flax.traverse_util as tu
+        path = os.path.expanduser(path)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        lora = extract_lora_params(self.variables["params"])
+        flat = {"/".join(k): np.asarray(v)
+                for k, v in tu.flatten_dict(lora).items()}
+        np.savez_compressed(path, **flat)
+        cfg = {"r": self.cfg.lora_rank, "lora_alpha": self.cfg.lora_alpha,
+               "lora_dropout": self.cfg.lora_dropout,
+               "target_modules": ["q_proj", "k_proj", "v_proj", "o_proj",
+                                  "gate_proj", "up_proj", "down_proj"]}
+        with open(path + ".adapter_config.json", "w") as f:
+            json.dump(cfg, f, indent=2)
+
+    def load_adapter(self, path: str):
+        import flax.traverse_util as tu
+        data = np.load(os.path.expanduser(path))
+        flat = {tuple(k.split("/")): jnp.asarray(v)
+                for k, v in data.items()}
+        adapter = tu.unflatten_dict(flat)
+        self.variables = {"params": merge_lora_params(
+            self.variables["params"], adapter)}
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    h, w = img.shape[:2]
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return img[ys][:, xs]
