@@ -64,13 +64,16 @@ def _pixel_grids(h: int, w: int):
 
 
 def sdf_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
-                  cfg: GraspScoringConfig) -> jnp.ndarray:
+                  cfg: GraspScoringConfig, dist_inside=None,
+                  dist_outside=None) -> jnp.ndarray:
     """Ridge-SDF + camera-alignment score
     (grasp_point_selector.py:526-567)."""
     m = jnp.asarray(leaf_mask, bool)
     h, w = m.shape
-    dist_inside = edt(~m)    # cv2.distanceTransform(mask)
-    dist_outside = edt(m)    # cv2.distanceTransform(1 - mask)
+    if dist_inside is None:
+        dist_inside = edt(~m)    # cv2.distanceTransform(mask)
+    if dist_outside is None:
+        dist_outside = edt(m)    # cv2.distanceTransform(1 - mask)
     sdf = dist_inside - dist_outside
 
     opt = cfg.optimal_edge_distance
@@ -109,22 +112,27 @@ def approach_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
 
 
 def isolation_score_map(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
-                        cfg: GraspScoringConfig) -> jnp.ndarray:
+                        cfg: GraspScoringConfig, dist_close=None,
+                        dist_wide=None) -> jnp.ndarray:
     """Distance-from-interference blend x top-down height preference
     (grasp_point_selector.py:595-633)."""
     m = jnp.asarray(leaf_mask, bool)
     h, w = m.shape
     other = jnp.asarray(all_mask, bool) & ~m
 
-    def interference_score(ksize: int):
-        inter = dilate(other, elliptical_kernel(ksize))
-        dist = edt(inter)  # distance of clear pixels to interference
-        return dist / (jnp.max(dist) + 1e-6)
+    if dist_close is None:
+        dist_close = edt(dilate(other,
+                                elliptical_kernel(
+                                    cfg.isolation_close_kernel)))
+    if dist_wide is None:
+        dist_wide = edt(dilate(other,
+                               elliptical_kernel(
+                                   cfg.isolation_wide_kernel)))
 
     score = (cfg.isolation_close_weight
-             * interference_score(cfg.isolation_close_kernel)
+             * dist_close / (jnp.max(dist_close) + 1e-6)
              + cfg.isolation_wide_weight
-             * interference_score(cfg.isolation_wide_kernel))
+             * dist_wide / (jnp.max(dist_wide) + 1e-6))
 
     # np.linspace(1.0, 0.2, h) row preference (grasp_point_selector.py:623)
     rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -178,12 +186,26 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     mf = m.astype(jnp.float32)
     depth = jnp.asarray(depth, jnp.float32)
 
-    sdf = sdf_score_map(m, camera_cx, camera_cy, cfg)
+    # The four distance fields batch into ONE fused EDT program; the
+    # inside-distance is shared by sdf_score and distance_map (the
+    # reference recomputes it, grasp_point_selector.py:266+529).
+    other = jnp.asarray(all_mask, bool) & ~m
+    from leafgrasp_tpu.ops.edt import edt_batch
+    seeds = jnp.stack([
+        ~m, m,
+        dilate(other, elliptical_kernel(cfg.isolation_close_kernel)),
+        dilate(other, elliptical_kernel(cfg.isolation_wide_kernel)),
+    ])
+    din, dout, dclose, dwide = edt_batch(seeds)
+
+    sdf = sdf_score_map(m, camera_cx, camera_cy, cfg,
+                        dist_inside=din, dist_outside=dout)
     approach = approach_score_map(m, camera_cx, camera_cy, f_norm)
     flatness = flatness_from_depth(depth * mf, cfg.flatness_gradient_scale,
                                    cfg.gaussian_kernel_size)
-    isolation = isolation_score_map(m, all_mask, cfg)
-    distance = edt(~m) * mf  # cv2.distanceTransform zeroes background
+    isolation = isolation_score_map(m, all_mask, cfg, dist_close=dclose,
+                                    dist_wide=dwide)
+    distance = din * mf      # cv2.distanceTransform zeroes background
     accessibility = accessibility_score_map(m, camera_cx, camera_cy, cfg)
     stem = stem_penalty_map(m, cfg)
 

@@ -108,6 +108,15 @@ def edt(seeds: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
     return jnp.sqrt(squared_edt(seeds, chunk=chunk))
 
 
+def edt_batch(seeds: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+    """Exact L2 EDT over a (C, H, W) batch of seed masks in one fused
+    program (the grasp scorer needs 4 fields per frame; batching them
+    amortizes pass-2's scan)."""
+    import functools as _ft
+    f = _ft.partial(squared_edt, chunk=chunk)
+    return jnp.sqrt(jax.vmap(f)(jnp.asarray(seeds, bool)))
+
+
 def signed_edt(mask: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
     """Signed distance field: positive inside `mask`, negative outside.
 
