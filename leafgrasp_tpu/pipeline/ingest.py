@@ -1,0 +1,226 @@
+"""Host shell: the grasp-selection service around the jitted pipeline.
+
+TPU-native equivalent of the production ROS node
+(reference leaf_grasp_node_v3.py:25-243) and the VLA node
+(leaf_grasp_node_vla.py:24-284):
+
+* stream callbacks (`on_mask` / `on_depth`) feed the lock-free
+  FrameBus (replacing the processing-flag + param-server handshake);
+* `process_pending` pulls the freshest pair, rate-gates (10 Hz default,
+  leaf_grasp_node_v3.py:81), runs the jitted frame function, publishes
+  the reference's message tuple "u,v,X,Y,Z[,pX,pY,pZ]"
+  (leaf_grasp_node_v3.py:170-177);
+* optional VLA re-ranking over per-leaf candidates BEFORE pixel
+  selection -- the reference's intended flow, with its broken
+  `_calculate_all_scores` call (leaf_grasp_node_vla.py:148-182, see
+  SURVEY.md 3.2) actually fixed: candidates come from the leaf
+  selector's real per-leaf scores.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from leafgrasp_tpu.config import PipelineConfig, DEFAULT_CONFIG, \
+    CameraConfig
+from leafgrasp_tpu.io.framebus import FrameBus
+from leafgrasp_tpu.pipeline.frame import make_frame_fn, select_grasp
+from leafgrasp_tpu.utils.profiler import StageTimer
+
+__all__ = ["GraspService", "format_result_message", "leaf_candidates"]
+
+
+def format_result_message(grasp_uv, grasp_xyz, pre_grasp_xyz=None) -> str:
+    """Reference publish format (leaf_grasp_node_v3.py:170-177)."""
+    u, v = int(grasp_uv[0]), int(grasp_uv[1])
+    x, y, z = (float(grasp_xyz[0]), float(grasp_xyz[1]),
+               float(grasp_xyz[2]))
+    if pre_grasp_xyz is None:
+        return f"{u},{v},{x},{y},{z}"
+    px, py, pz = (float(pre_grasp_xyz[0]), float(pre_grasp_xyz[1]),
+                  float(pre_grasp_xyz[2]))
+    return f"{u},{v},{x},{y},{z},{px},{py},{pz}"
+
+
+def leaf_candidates(selection, max_candidates: int = 5) -> List[Dict]:
+    """Build VLA candidates from the leaf selector's per-leaf scores
+    (the working version of leaf_grasp_node_vla.py:148-182): one
+    candidate per area-valid leaf, sorted by weighted geometric score,
+    top-k kept."""
+    scores = np.asarray(selection.scores)
+    weighted = np.asarray(selection.weighted)
+    valid = np.asarray(selection.candidate)
+    cx = np.asarray(selection.stats.centroid_x)
+    cy = np.asarray(selection.stats.centroid_y)
+
+    cands = []
+    for slot in np.where(valid)[0]:
+        cands.append(dict(
+            leaf_id=int(slot) + 1,
+            x=float(cx[slot]), y=float(cy[slot]),
+            clutter_score=float(scores[slot, 0]),
+            distance_score=float(scores[slot, 1]),
+            visibility_score=float(scores[slot, 2]),
+            geometric_score=float(weighted[slot]),
+        ))
+    cands.sort(key=lambda c: -c["geometric_score"])
+    return cands[:max_candidates]
+
+
+class GraspService:
+    """Frame-stream grasp selection service.
+
+    Parameters
+    ----------
+    cfg : PipelineConfig
+    cnn_variables : optional trained GraspPointCNN variables (enables
+        CV+ML fusion; absent -> CV-only, mirroring the reference's
+        missing-checkpoint degradation).
+    hybrid_selector : optional vla.HybridGraspSelector for leaf-level
+        VLA re-ranking; failures degrade to the geometric choice.
+    publish : callback(str) for the result message.
+    on_result : callback(FrameResult, dict) with the full result.
+    """
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 cnn_variables=None, hybrid_selector=None,
+                 publish: Optional[Callable[[str], None]] = None,
+                 on_result: Optional[Callable] = None,
+                 min_interval_s: float = 0.1,
+                 prefer_native_bus: bool = True):
+        self.cfg = cfg
+        self.camera = cfg.camera
+        self.cnn_variables = cnn_variables
+        self.hybrid_selector = hybrid_selector
+        self.publish = publish
+        self.on_result = on_result
+        self.min_interval_s = min_interval_s
+        self.timer = StageTimer()
+
+        self.bus = FrameBus(cfg.frame.height, cfg.frame.width,
+                            prefer_native=prefer_native_bus)
+        self._fn = make_frame_fn(cfg, with_cnn=cnn_variables is not None)
+        self._last_processed = 0.0
+        self._latest_rgb = None
+        self._frames = 0
+        self._stop = threading.Event()
+
+    # ------------------------------------------------------- callbacks --
+
+    def set_camera_params(self, projection_matrix):
+        """3x4 P matrix (leaf_grasp_node_v3.py:93-99)."""
+        self.camera = CameraConfig.from_projection(
+            np.asarray(projection_matrix))
+
+    def on_mask(self, mask: np.ndarray, stamp_us: int = 0):
+        self.bus.push_mask(mask, stamp_us)
+
+    def on_depth(self, depth: np.ndarray, stamp_us: int = 0):
+        self.bus.push_depth(depth, stamp_us)
+
+    def on_rgb(self, image: np.ndarray):
+        """Left rectified color image, used by VLA re-ranking and the
+        visualizer (leaf_grasp_node_v3.py:220-225)."""
+        self._latest_rgb = image
+
+    # ------------------------------------------------------ processing --
+
+    def process_pending(self, force: bool = False):
+        """Process the freshest pair if the rate gate allows. Returns the
+        result dict or None."""
+        now = time.monotonic()
+        if not force and (now - self._last_processed) < self.min_interval_s:
+            return None
+        pair = self.bus.try_get_pair()
+        if pair is None:
+            return None
+        mask, depth, mask_stamp, depth_stamp = pair
+        self._last_processed = now
+        return self.process_frame(mask, depth, mask_stamp=mask_stamp,
+                                  depth_stamp=depth_stamp)
+
+    def process_frame(self, mask: np.ndarray, depth: np.ndarray,
+                      mask_stamp: int = 0, depth_stamp: int = 0):
+        cam = self.camera
+        with self.timer.stage("frame_total"):
+            with self.timer.stage("select_grasp"):
+                if self.cnn_variables is not None:
+                    res = self._fn(mask.astype(np.int32), depth,
+                                   np.float32(cam.cx), np.float32(cam.cy),
+                                   np.float32(cam.fx), self.cnn_variables)
+                else:
+                    res = self._fn(mask.astype(np.int32), depth,
+                                   np.float32(cam.cx), np.float32(cam.cy),
+                                   np.float32(cam.fx))
+                found = bool(res.found)
+
+            vla_choice = None
+            if self.hybrid_selector is not None and found:
+                with self.timer.stage("vla_rerank"):
+                    vla_choice = self._vla_rerank(res, mask, depth)
+                if vla_choice is not None and \
+                        vla_choice["leaf_id"] != int(res.leaf_id):
+                    # re-run pixel selection on the VLA-chosen leaf
+                    with self.timer.stage("vla_reselect"):
+                        res = self._reselect(mask, depth,
+                                             vla_choice["leaf_id"])
+                        found = bool(res.found)
+
+        msg = None
+        if found:
+            msg = format_result_message(np.asarray(res.grasp_uv),
+                                        np.asarray(res.grasp_xyz),
+                                        np.asarray(res.pre_grasp_xyz))
+            if self.publish:
+                self.publish(msg)
+        out = dict(result=res, message=msg, found=found,
+                   vla=vla_choice, mask_stamp=mask_stamp,
+                   depth_stamp=depth_stamp, frame_index=self._frames)
+        self._frames += 1
+        if self.on_result:
+            self.on_result(out)
+        return out
+
+    def _vla_rerank(self, res, mask, depth):
+        try:
+            cands = leaf_candidates(res.leaf_selection,
+                                    self.cfg.vla.num_candidates)
+            if not cands:
+                return None
+            return self.hybrid_selector.select_grasp_point(
+                self._latest_rgb, cands)
+        except Exception:
+            return None  # geometric fallback (leaf_grasp_node_vla.py:133)
+
+    def _reselect(self, mask, depth, leaf_id: int):
+        """Pixel selection constrained to a specific leaf id."""
+        import jax.numpy as jnp
+        # reuse select_grasp with a remapped mask: keep only this leaf
+        remapped = np.where(mask == leaf_id, leaf_id, 0).astype(np.int32)
+        cam = self.camera
+        if self.cnn_variables is not None:
+            return self._fn(remapped, depth, np.float32(cam.cx),
+                            np.float32(cam.cy), np.float32(cam.fx),
+                            self.cnn_variables)
+        return self._fn(remapped, depth, np.float32(cam.cx),
+                        np.float32(cam.cy), np.float32(cam.fx))
+
+    # ------------------------------------------------------------ loop --
+
+    def run(self, poll_interval_s: float = 0.005):
+        """Blocking service loop; stop with .stop()."""
+        while not self._stop.is_set():
+            out = self.process_pending()
+            if out is None:
+                time.sleep(poll_interval_s)
+
+    def stop(self):
+        self._stop.set()
+
+    def stats(self) -> dict:
+        return dict(bus=self.bus.stats(), frames=self._frames,
+                    stages=self.timer.summary())

@@ -1,0 +1,236 @@
+"""Host shell tests: framebus (native + fallback), GraspService,
+visualizer, QA tools, profiler."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from leafgrasp_tpu.config import (PipelineConfig, FrameConfig,
+                                  LeafSelectionConfig)
+from leafgrasp_tpu.io.framebus import FrameBus, native_available
+from leafgrasp_tpu.io.scenes import make_leaf_scene
+from leafgrasp_tpu.io.tools import detect_midrib, angle_error, \
+    quantify_angles
+from leafgrasp_tpu.pipeline.ingest import (GraspService,
+                                           format_result_message,
+                                           leaf_candidates)
+from leafgrasp_tpu.pipeline.visualizer import LeafVisualizer, \
+    generate_color
+from leafgrasp_tpu.utils.profiler import StageTimer
+
+H, W = 270, 360
+CFG = PipelineConfig(
+    frame=FrameConfig(height=H, width=W, max_leaves=8),
+    leaf=LeafSelectionConfig(min_leaf_area=1500),
+)
+
+
+def _scene():
+    return make_leaf_scene(height=H, width=W, num_leaves=4, seed=3,
+                           margin=40)
+
+
+# --------------------------------------------------------------- framebus --
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_framebus_pairing(prefer_native):
+    bus = FrameBus(4, 5, prefer_native=prefer_native)
+    assert bus.try_get_pair() is None
+    mask = np.arange(20, dtype=np.int16).reshape(4, 5)
+    depth = np.linspace(0, 1, 20, dtype=np.float32).reshape(4, 5)
+    bus.push_mask(mask, 111)
+    assert bus.try_get_pair() is None     # no depth yet
+    bus.push_depth(depth, 222)
+    m, d, ms, ds = bus.try_get_pair()
+    np.testing.assert_array_equal(m, mask)
+    np.testing.assert_array_equal(d, depth)
+    assert (ms, ds) == (111, 222)
+    assert bus.try_get_pair() is None     # consumed
+    bus.close()
+
+
+def test_framebus_native_built():
+    assert native_available(), "native framebus failed to build"
+    bus = FrameBus(4, 5)
+    assert bus.is_native
+    bus.close()
+
+
+def test_framebus_latest_wins_and_drops():
+    bus = FrameBus(2, 2)
+    for i in range(5):
+        bus.push_mask(np.full((2, 2), i, np.int16), i)
+    bus.push_depth(np.zeros((2, 2), np.float32), 9)
+    m, d, ms, ds = bus.try_get_pair()
+    assert m[0, 0] == 4 and ms == 4       # freshest mask won
+    stats = bus.stats()
+    assert stats["mask_pushed"] == 5
+    assert stats["mask_dropped"] == 4
+    assert stats["pairs"] == 1
+    bus.close()
+
+
+def test_framebus_threaded_stress():
+    bus = FrameBus(8, 8)
+    n = 300
+    stop = threading.Event()
+
+    def producer():
+        for i in range(n):
+            bus.push_mask(np.full((8, 8), i % 100, np.int16), i)
+            bus.push_depth(np.full((8, 8), 0.5, np.float32), i)
+        stop.set()
+
+    got = []
+    t = threading.Thread(target=producer)
+    t.start()
+    while not stop.is_set() or bus.try_get_pair() is not None:
+        pair = bus.try_get_pair()
+        if pair is not None:
+            m = pair[0]
+            assert (m == m[0, 0]).all()   # no torn frames
+            got.append(int(m[0, 0]))
+    t.join()
+    s = bus.stats()
+    assert s["mask_pushed"] == n
+    assert s["pairs"] == len(got) > 0
+    bus.close()
+
+
+# ----------------------------------------------------------- grasp service --
+
+def test_grasp_service_end_to_end():
+    mask, depth = _scene()
+    messages = []
+    svc = GraspService(CFG, publish=messages.append, min_interval_s=0.0)
+    svc.on_mask(mask)
+    svc.on_depth(depth)
+    out = svc.process_pending(force=True)
+    assert out is not None and out["found"]
+    parts = out["message"].split(",")
+    assert len(parts) == 8                # u,v + 3D grasp + 3D pre-grasp
+    u, v = int(parts[0]), int(parts[1])
+    assert mask[v, u] == int(out["result"].leaf_id)
+    assert messages == [out["message"]]
+    stats = svc.stats()
+    assert stats["frames"] == 1
+    assert "frame_total" in stats["stages"]
+
+
+def test_grasp_service_rate_gate():
+    mask, depth = _scene()
+    svc = GraspService(CFG, min_interval_s=1e6)
+    svc.on_mask(mask)
+    svc.on_depth(depth)
+    svc.process_pending(force=True)
+    svc.on_mask(mask)
+    svc.on_depth(depth)
+    assert svc.process_pending() is None  # gated
+
+
+def test_grasp_service_vla_rerank():
+    from leafgrasp_tpu.vla import HybridGraspSelector, VLAProcessor, \
+        HeuristicScorer
+    mask, depth = _scene()
+    svc = GraspService(
+        CFG, hybrid_selector=HybridGraspSelector(
+            VLAProcessor(HeuristicScorer())),
+        min_interval_s=0.0)
+    svc.on_mask(mask)
+    svc.on_depth(depth)
+    out = svc.process_pending(force=True)
+    assert out is not None and out["found"]
+    assert out["vla"] is not None
+    assert "strategy" in out["vla"]
+
+
+def test_leaf_candidates_shape():
+    mask, depth = _scene()
+    svc = GraspService(CFG, min_interval_s=0.0)
+    out = svc.process_frame(mask, depth)
+    cands = leaf_candidates(out["result"].leaf_selection, 5)
+    assert 1 <= len(cands) <= 5
+    assert all(c["geometric_score"] >= cands[-1]["geometric_score"]
+               for c in cands)
+    for key in ("x", "y", "clutter_score", "distance_score",
+                "visibility_score", "leaf_id"):
+        assert key in cands[0]
+
+
+def test_format_result_message():
+    msg = format_result_message((10, 20), (0.1, 0.2, 0.5))
+    assert msg.startswith("10,20,")
+    assert len(msg.split(",")) == 5
+
+
+# --------------------------------------------------------------- visualizer --
+
+def test_visualizer_renders_and_saves(tmp_path):
+    mask, depth = _scene()
+    vis = LeafVisualizer(str(tmp_path))
+    frame = vis.render(mask, selected_leaf=3, grasp_uv=(150, 120),
+                       grasp_xyz=(0.1, 0.05, 0.5),
+                       pre_grasp_xyz=(0.05, 0.02, 0.5),
+                       tall_leaves=[1])
+    assert frame.shape == (H, W, 3)
+    # selected leaf painted red-ish, tall painted blue-ish
+    sel_px = frame[mask == 3]
+    assert (sel_px[:, 0] > sel_px[:, 2]).mean() > 0.8
+    path = vis.visualize_result(mask, 3, (150, 120), (0.1, 0.05, 0.5),
+                                (0.05, 0.02, 0.5), tall_leaves=[1])
+    import os
+    assert os.path.exists(path)
+    # composite with rgb doubles the width
+    rgb = np.zeros((H, W, 3), np.uint8)
+    comp = vis.render(mask, 3, rgb=rgb)
+    assert comp.shape == (H, 2 * W, 3)
+
+
+def test_generate_color_distinct():
+    colors = {generate_color(i) for i in range(1, 12)}
+    assert len(colors) == 11
+
+
+# --------------------------------------------------------------- QA tools --
+
+def test_detect_midrib_on_synthetic_leaf():
+    h, w = 200, 300
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    theta = 0.4
+    ct, st = np.cos(theta), np.sin(theta)
+    xr = (xx - 150) * ct + (yy - 100) * st
+    yr = -(xx - 150) * st + (yy - 100) * ct
+    mask = (xr / 80) ** 2 + (yr / 30) ** 2 <= 1
+    # bright ridge along the major axis
+    img = np.zeros((h, w), np.float32)
+    img[mask] = 0.3
+    img[mask & (np.abs(yr) < 2)] = 1.0
+    out = detect_midrib(mask, img)
+    assert out is not None
+    (x1, y1), (x2, y2) = out
+    ang = np.degrees(np.arctan2(y2 - y1, x2 - x1)) % 180
+    assert abs(ang - np.degrees(theta)) < 8
+
+
+def test_angle_error_and_quantify():
+    h, w = 100, 150
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((xx - 75) / 40) ** 2 + ((yy - 50) / 15) ** 2 <= 1
+    r = angle_error(mask, ((35, 50), (115, 50)))  # horizontal line
+    assert r["error_deg"] < 3
+    batch = quantify_angles(mask.astype(np.int16), {1: ((35, 50),
+                                                        (115, 50))})
+    assert batch[0]["leaf_id"] == 1
+
+
+# ---------------------------------------------------------------- profiler --
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    t.record("a", 0.01)
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert "a" in t.report()
