@@ -171,16 +171,22 @@ def stem_penalty_map(leaf_mask: jnp.ndarray,
     return stem.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
                          depth: jnp.ndarray, camera_cx, camera_cy, f_norm,
-                         cfg: GraspScoringConfig = GraspScoringConfig()
-                         ) -> GraspScores:
+                         cfg: GraspScoringConfig = GraspScoringConfig(),
+                         use_pallas: bool = False) -> GraspScores:
     """All score maps + traditional score + valid region for one leaf.
 
     leaf_mask : (H, W) bool -- the selected leaf
-    all_mask  : (H, W) bool -- union of all leaves (for isolation)
+    all_mask  : (H, W) bool -- union of all leaves (for isolation).
+        NOTE: the reference's production node passes only the single-leaf
+        mask here, making its other-leaf isolation term degenerate
+        (leaf_grasp_node_v3.py:117-119 + grasp_point_selector.py:605-607);
+        passing the true union restores the intended behavior.
     depth     : (H, W) float32 metric depth
+    use_pallas: route the per-pixel combination through the fused Pallas
+        kernel (ops/pallas_scoring.py); False = the oracle composition.
     """
     m = jnp.asarray(leaf_mask, bool)
     mf = m.astype(jnp.float32)
@@ -197,6 +203,24 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
         dilate(other, elliptical_kernel(cfg.isolation_wide_kernel)),
     ])
     din, dout, dclose, dwide = edt_batch(seeds)
+
+    if use_pallas:
+        from leafgrasp_tpu.ops.pallas_scoring import fused_score_maps
+        from leafgrasp_tpu.ops.conv import smooth_depth, sobel_gradients
+        smoothed = smooth_depth(depth * mf, cfg.gaussian_kernel_size)
+        dx, dy = sobel_gradients(smoothed)
+        grad_mag = jnp.sqrt(dx * dx + dy * dy)
+        stem = stem_penalty_map(m, cfg)
+        o = mask_orientation(m)
+        (sdf, approach, flatness, isolation, distance, accessibility,
+         stem_o, traditional, valid) = fused_score_maps(
+            din, dout, dclose, dwide, grad_mag, mf, stem,
+            camera_cx, camera_cy, f_norm, o.angle, o.valid, cfg=cfg)
+        return GraspScores(
+            sdf_score=sdf, approach_score=approach, flatness_map=flatness,
+            isolation_map=isolation, distance_map=distance,
+            accessibility_map=accessibility, stem_penalty=stem_o,
+            traditional_score=traditional, valid_region=valid)
 
     sdf = sdf_score_map(m, camera_cx, camera_cy, cfg,
                         dist_inside=din, dist_outside=dout)

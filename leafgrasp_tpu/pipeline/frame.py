@@ -43,11 +43,13 @@ class FrameResult(NamedTuple):
     leaf_selection: LeafSelection
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cnn_apply"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cnn_apply", "use_pallas"))
 def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
                  camera_cx, camera_cy, f_norm,
                  cnn_variables=None, cnn_apply=None,
-                 cfg: PipelineConfig = DEFAULT_CONFIG) -> FrameResult:
+                 cfg: PipelineConfig = DEFAULT_CONFIG,
+                 use_pallas: bool = False) -> FrameResult:
     """Full grasp selection for one frame.
 
     cnn_apply : optional static callable (variables, feats) -> logits.
@@ -64,7 +66,8 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
     all_mask = mask_ids > 0
 
     scores = compute_grasp_scores(leaf, all_mask, depth, camera_cx,
-                                  camera_cy, f_norm, cfg=cfg.grasp)
+                                  camera_cy, f_norm, cfg=cfg.grasp,
+                                  use_pallas=use_pallas)
     cand = topk_min_distance(scores.traditional_score, scores.valid_region,
                              k=cfg.grasp.top_k,
                              min_distance=cfg.grasp.min_candidate_distance)
@@ -102,15 +105,22 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
 
 
 def make_frame_fn(cfg: PipelineConfig = DEFAULT_CONFIG,
-                  with_cnn: bool = False):
+                  with_cnn: bool = False,
+                  use_pallas: bool | None = None):
     """Build a jit-ready frame function (and CNN apply fn if requested).
 
     Returns ``fn(mask, depth, cx, cy, f[, cnn_variables])`` closing over
     the static config, suitable for compile-once serving.
+    ``use_pallas=None`` routes the fused scoring kernel on TPU backends
+    and the oracle composition elsewhere.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+
     if not with_cnn:
         def fn(mask_ids, depth, cx, cy, f):
-            return select_grasp(mask_ids, depth, cx, cy, f, cfg=cfg)
+            return select_grasp(mask_ids, depth, cx, cy, f, cfg=cfg,
+                                use_pallas=use_pallas)
         return fn
 
     model = GraspPointCNN(cfg.model)
@@ -121,5 +131,6 @@ def make_frame_fn(cfg: PipelineConfig = DEFAULT_CONFIG,
     def fn(mask_ids, depth, cx, cy, f, cnn_variables):
         return select_grasp(mask_ids, depth, cx, cy, f,
                             cnn_variables=cnn_variables,
-                            cnn_apply=cnn_apply, cfg=cfg)
+                            cnn_apply=cnn_apply, cfg=cfg,
+                            use_pallas=use_pallas)
     return fn
