@@ -158,6 +158,22 @@ def accessibility_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
             + cfg.access_direction_weight * forward) * m
 
 
+def tip_penalty_map(leaf_mask: jnp.ndarray,
+                    kernel_size: int = 15) -> jnp.ndarray:
+    """Tip-proximity penalty used by the data-collection (teacher)
+    selector (grasp_point_selector_bkp / grasp_point_selector.py:703-716):
+    1 at dilated tip bands, decaying with distance from them."""
+    from leafgrasp_tpu.ops.morphology import erode
+    from leafgrasp_tpu.ops.edt import edt
+    m = jnp.asarray(leaf_mask, bool)
+    k = elliptical_kernel(kernel_size)
+    tips = m & ~erode(m, k)
+    tip_area = dilate(tips, k) & m
+    dist_from_tips = edt(tip_area)
+    penalty = 1.0 - dist_from_tips / (jnp.max(dist_from_tips) + 1e-6)
+    return penalty * m.astype(jnp.float32)
+
+
 def stem_penalty_map(leaf_mask: jnp.ndarray,
                      cfg: GraspScoringConfig) -> jnp.ndarray:
     """Dilated bottom-third intersection (grasp_point_selector.py:688-701)."""
