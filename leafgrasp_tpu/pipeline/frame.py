@@ -33,6 +33,10 @@ __all__ = ["FrameResult", "select_grasp", "make_frame_fn"]
 
 class FrameResult(NamedTuple):
     found: jnp.ndarray           # bool: a leaf was selected
+    degenerate: jnp.ndarray      # bool: valid region empty -> the grasp
+                                 # pixel is a zero-score tie-break (the
+                                 # reference publishes garbage here too;
+                                 # callers should treat it as a miss)
     leaf_id: jnp.ndarray         # int32 (0 if none)
     grasp_uv: jnp.ndarray        # (2,) int32 pixel (u, v)
     grasp_xyz: jnp.ndarray       # (3,) float32 camera-frame metres
@@ -93,6 +97,7 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
 
     return FrameResult(
         found=sel.found & cand.accepted[0],
+        degenerate=~(cand.score[0] > 0),
         leaf_id=sel.best_leaf_id,
         grasp_uv=jnp.stack([u, v]),
         grasp_xyz=grasp_xyz,

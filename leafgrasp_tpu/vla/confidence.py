@@ -27,7 +27,8 @@ def score_consistency(vla_scores: Sequence[float],
     g = np.asarray(geometric_scores, np.float64)
     if v.size < 2:
         return 0.5
-    corr = np.corrcoef(_minmax(v), _minmax(g))[0, 1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = np.corrcoef(_minmax(v), _minmax(g))[0, 1]
     if np.isnan(corr):
         return 0.5
     return float((corr + 1.0) / 2.0)
