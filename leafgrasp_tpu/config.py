@@ -142,6 +142,9 @@ class ModelConfig:
     conv_dropout: float = 0.3
     fc_dropout: Tuple[float, float, float] = (0.5, 0.5, 0.4)
     se_reduction: int = 16
+    # route the attention gating through the fused Pallas kernel
+    # (models/attention_pallas.py); params are shared with the plain path
+    pallas_attention: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

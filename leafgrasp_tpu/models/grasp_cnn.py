@@ -63,25 +63,46 @@ class _EncoderBlock(nn.Module):
         return x
 
 
-class _SpatialAttention(nn.Module):
-    @nn.compact
-    def __call__(self, x):
-        w = nn.Conv(1, (1, 1), kernel_init=_gate_init)(x)
-        return x * nn.sigmoid(w)
+class _AttentionGate(nn.Module):
+    """Unified spatial/channel/hybrid gating. The same parameters drive
+    either the plain JAX path or the fused Pallas kernel
+    (models/attention_pallas.py), selected by `use_pallas`."""
 
-
-class _ChannelAttention(nn.Module):
+    mode: str
     reduction: int = 16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.mode == "none":
+            return x
         c = x.shape[-1]
-        squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)     # GAP
-        w = nn.Conv(max(c // self.reduction, 1), (1, 1),
-                    kernel_init=_gate_init)(squeezed)
-        w = nn.relu(w)
-        w = nn.Conv(c, (1, 1), kernel_init=_gate_init)(w)
-        return x * nn.sigmoid(w)
+        r = max(c // self.reduction, 1)
+
+        if self.mode in ("spatial", "hybrid"):
+            ws = self.param("spatial_kernel", _gate_init, (c, 1))
+            bs = self.param("spatial_bias", nn.initializers.zeros, (1,))
+        else:
+            ws = jnp.zeros((c, 1), x.dtype)
+            bs = jnp.zeros((1,), x.dtype)
+        if self.mode in ("channel", "hybrid"):
+            w1 = self.param("squeeze_kernel", _gate_init, (c, r))
+            b1 = self.param("squeeze_bias", nn.initializers.zeros, (r,))
+            w2 = self.param("excite_kernel", _gate_init, (r, c))
+            b2 = self.param("excite_bias", nn.initializers.zeros, (c,))
+        else:
+            w1 = jnp.zeros((c, r), x.dtype)
+            b1 = jnp.zeros((r,), x.dtype)
+            w2 = jnp.zeros((r, c), x.dtype)
+            b2 = jnp.zeros((c,), x.dtype)
+
+        from leafgrasp_tpu.models.attention_pallas import (
+            fused_attention_gate, attention_gate_reference)
+        if self.use_pallas:
+            return fused_attention_gate(x, ws, bs, w1, b1, w2, b2,
+                                        self.mode)
+        return attention_gate_reference(x, ws, bs, w1, b1, w2, b2,
+                                        self.mode)
 
 
 class GraspPointCNN(nn.Module):
@@ -94,21 +115,11 @@ class GraspPointCNN(nn.Module):
         for filters in cfg.encoder_filters:
             x = _EncoderBlock(filters, cfg.conv_dropout)(x, train)
 
-        if cfg.attention_type == "spatial":
-            x = _SpatialAttention()(x)
-        elif cfg.attention_type == "channel":
-            x = _ChannelAttention(cfg.se_reduction)(x)
-        elif cfg.attention_type == "hybrid":
-            w_s = nn.Conv(1, (1, 1), kernel_init=_gate_init)(x)
-            squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)
-            c = x.shape[-1]
-            w_c = nn.Conv(max(c // cfg.se_reduction, 1), (1, 1),
-                          kernel_init=_gate_init)(squeezed)
-            w_c = nn.relu(w_c)
-            w_c = nn.Conv(c, (1, 1), kernel_init=_gate_init)(w_c)
-            x = x * nn.sigmoid(w_s) * nn.sigmoid(w_c)
-        elif cfg.attention_type != "none":
+        if cfg.attention_type not in ("spatial", "channel", "hybrid",
+                                      "none"):
             raise ValueError(f"unknown attention {cfg.attention_type!r}")
+        x = _AttentionGate(cfg.attention_type, cfg.se_reduction,
+                           cfg.pallas_attention, name="attention")(x)
 
         x = jnp.mean(x, axis=(1, 2))                           # GAP -> (N, C)
 

@@ -15,11 +15,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["infer_param_shardings", "shard_variables", "shard_batch"]
 
 
+# Modules whose 2D kernels shard column-wise over the model axis:
+# classifier Dense layers and every transformer projection (the LoRA
+# target set q/k/v/o/gate/up/down plus the LM head).
+_TP_MARKERS = ("Dense", "q_proj", "k_proj", "v_proj", "o_proj",
+               "gate_proj", "up_proj", "down_proj", "lm_head")
+
+
 def _spec_for(path: str, leaf, model_size: int) -> P:
+    marked = any(m in path for m in _TP_MARKERS)
     if leaf.ndim == 2 and leaf.shape[-1] % model_size == 0 \
-            and leaf.shape[-1] >= model_size and "Dense" in path:
+            and leaf.shape[-1] >= model_size and marked:
         return P(None, "model")
-    if leaf.ndim == 1 and "Dense" in path and "bias" in path \
+    if leaf.ndim == 1 and marked and "bias" in path \
             and leaf.shape[0] % model_size == 0:
         return P("model")
     return P()

@@ -60,3 +60,48 @@ def test_fused_scoring_empty_leaf_orientation_fallback():
     np.testing.assert_allclose(np.asarray(ref.traditional_score),
                                np.asarray(fused.traditional_score),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_attention_matches_reference():
+    import jax
+    import jax.numpy as jnp
+    from leafgrasp_tpu.models.attention_pallas import (
+        fused_attention_gate, attention_gate_reference)
+    rng = np.random.default_rng(0)
+    n, h, w, c, r = 4, 4, 4, 64, 4
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(c, 1)).astype(np.float32) * 0.1)
+    bs = jnp.zeros((1,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, r)).astype(np.float32) * 0.1)
+    b1 = jnp.zeros((r,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(r, c)).astype(np.float32) * 0.1)
+    b2 = jnp.zeros((c,), jnp.float32)
+    for mode in ("spatial", "channel", "hybrid", "none"):
+        a = attention_gate_reference(x, ws, bs, w1, b1, w2, b2, mode)
+        b = fused_attention_gate(x, ws, bs, w1, b1, w2, b2, mode,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=mode)
+
+
+def test_model_pallas_attention_flag_same_params():
+    """Flipping pallas_attention must not change outputs or the param
+    tree (shared parameters)."""
+    import jax
+    import jax.numpy as jnp
+    from leafgrasp_tpu.config import ModelConfig
+    from leafgrasp_tpu.models.grasp_cnn import GraspPointCNN, \
+        init_grasp_cnn
+    cfg = ModelConfig(encoder_filters=(8, 16), attention_type="hybrid")
+    model, variables = init_grasp_cnn(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(3, 32, 32, 9)).astype(np.float32))
+    out_plain = model.apply(variables, x, train=False)
+
+    cfg_p = ModelConfig(encoder_filters=(8, 16), attention_type="hybrid",
+                        pallas_attention=True)
+    model_p = GraspPointCNN(cfg_p)
+    out_pallas = model_p.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_plain),
+                               np.asarray(out_pallas), rtol=1e-4,
+                               atol=1e-5)
