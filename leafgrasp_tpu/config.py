@@ -168,6 +168,15 @@ class TrainConfig:
     data_axis: str = "data"
 
 
+# The reference ships a second, "online" trainer inside the ROS node
+# (ml_grasp_optimizer/trainer.py:13-17: Adam lr=1e-3 wd=0.01,
+# BCEWithLogits pos_weight=1.5, batch 8, ReduceLROnPlateau). Its epoch
+# loop crashes on a use-before-def (trainer.py:87 vs :93, SURVEY.md 2.4);
+# this preset is the working equivalent.
+ONLINE_TRAIN_CONFIG = TrainConfig(learning_rate=1e-3, batch_size=8,
+                                  pos_weight=1.5, epochs=50)
+
+
 @dataclasses.dataclass(frozen=True)
 class VLAConfig:
     """VLA hybrid selection: reference vla_system/{hybrid_selector,

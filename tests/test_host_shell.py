@@ -234,3 +234,23 @@ def test_stage_timer():
     s = t.summary()
     assert s["a"]["count"] == 2
     assert "a" in t.report()
+
+
+# ------------------------------------------------------------ device utils --
+
+def test_device_utils():
+    from leafgrasp_tpu.utils.device import (device_info, to_device,
+                                            clear_memory, live_buffer_bytes)
+    info = device_info()
+    assert info["device_count"] >= 1
+    arr = to_device(np.ones((4, 4)))
+    assert np.asarray(arr).sum() == 16
+    assert live_buffer_bytes() >= 0
+    clear_memory()
+
+
+def test_online_train_preset():
+    from leafgrasp_tpu.config import ONLINE_TRAIN_CONFIG
+    assert ONLINE_TRAIN_CONFIG.pos_weight == 1.5
+    assert ONLINE_TRAIN_CONFIG.batch_size == 8
+    assert ONLINE_TRAIN_CONFIG.learning_rate == 1e-3
