@@ -1,0 +1,101 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from leafgrasp_tpu.io.scenes import make_leaf_scene
+from leafgrasp_tpu.parallel.mesh import make_mesh
+from leafgrasp_tpu.parallel.sharding import (infer_param_shardings,
+                                             shard_variables, shard_batch)
+from leafgrasp_tpu.parallel.spatial import (sharded_nearest_seed_rows,
+                                            sharded_squared_edt,
+                                            sharded_edt,
+                                            sharded_shift_rows)
+from leafgrasp_tpu.parallel.batch import make_batched_frame_fn
+from leafgrasp_tpu.ops.edt import edt, squared_edt, nearest_seed_dist_1d
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, model_axis=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(6, model_axis=4)
+
+
+def test_sharded_nearest_seed_matches_local():
+    mesh = make_mesh(8, model_axis=1)
+    mask, _ = make_leaf_scene(height=96, width=64, num_leaves=3, seed=2,
+                              margin=12)
+    seeds = mask > 0
+    ours = np.asarray(sharded_nearest_seed_rows(seeds, mesh))
+    ref = np.asarray(nearest_seed_dist_1d(seeds, axis=0))
+    # sentinel values (no seed in column) may differ; compare where finite
+    finite = ref < 96 + 64
+    np.testing.assert_array_equal(ours[finite], ref[finite])
+    assert (ours[~finite] >= 96).all()
+
+
+def test_sharded_edt_matches_single_device():
+    mesh = make_mesh(8, model_axis=1)
+    mask, _ = make_leaf_scene(height=96, width=64, num_leaves=3, seed=4,
+                              margin=12)
+    seeds = mask > 0
+    ours = np.asarray(sharded_edt(seeds, mesh))
+    ref = np.asarray(edt(seeds))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("dy", [3, -3, 0, 12, -12])
+def test_sharded_shift_rows(dy):
+    mesh = make_mesh(8, model_axis=1)
+    arr = np.arange(96 * 8, dtype=np.float32).reshape(96, 8)
+    out = np.asarray(sharded_shift_rows(arr, dy, -1.0, mesh))
+    expected = np.full_like(arr, -1.0)
+    if dy > 0:
+        expected[:-dy or None] = arr[dy:]
+    elif dy < 0:
+        expected[-dy:] = arr[:dy]
+    else:
+        expected = arr
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_param_shardings_rules():
+    from leafgrasp_tpu.vla.lm import init_vla, VLAModelConfig
+    mesh = make_mesh(8, model_axis=2)
+    cfg = VLAModelConfig(dim=32, n_layers=1, n_heads=2, n_kv_heads=1,
+                         mlp_hidden=64, vision_tokens=2, vision_patch=16)
+    _, variables = init_vla(jax.random.PRNGKey(0), cfg)
+    shardings = infer_param_shardings(variables["params"], mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {"/".join(str(getattr(p, "key", p)) for p in path): s.spec
+             for path, s in flat}
+    assert any("q_proj" in k and s == jax.sharding.PartitionSpec(
+        None, "model") for k, s in specs.items())
+    assert any("lm_head" in k and s == jax.sharding.PartitionSpec(
+        None, "model") for k, s in specs.items())
+
+
+def test_batched_frame_fn_dp():
+    from leafgrasp_tpu.config import (PipelineConfig, FrameConfig,
+                                      LeafSelectionConfig)
+    mesh = make_mesh(4, model_axis=1)
+    cfg = PipelineConfig(frame=FrameConfig(height=96, width=128,
+                                           max_leaves=4),
+                         leaf=LeafSelectionConfig(min_leaf_area=200))
+    mask, depth = make_leaf_scene(96, 128, 3, seed=1, margin=16)
+    b = 4
+    masks = np.stack([np.roll(mask, i, 1) for i in range(b)])
+    depths = np.stack([np.roll(depth, i, 1) for i in range(b)])
+    fn = make_batched_frame_fn(mesh, cfg, with_cnn=False)
+    res = fn(masks, depths, np.float32(64.0), np.float32(48.0),
+             np.float32(200.0))
+    assert np.asarray(res.grasp_uv).shape == (b, 2)
+    # per-frame results equal the unbatched pipeline
+    from leafgrasp_tpu.pipeline.frame import make_frame_fn
+    single = make_frame_fn(cfg, with_cnn=False)
+    r0 = single(masks[0], depths[0], np.float32(64.0), np.float32(48.0),
+                np.float32(200.0))
+    np.testing.assert_array_equal(np.asarray(res.grasp_uv)[0],
+                                  np.asarray(r0.grasp_uv))
