@@ -90,6 +90,14 @@ class GraspScoringConfig:
     isolation_wide_kernel: int = 40
     isolation_close_weight: float = 0.7
     isolation_wide_weight: float = 0.3
+    # "union": interference = other leaves of the full instance map (the
+    #   intended behavior; 2 EDT fields per frame).
+    # "reference_self": replicate the reference PRODUCTION path, which
+    #   passes only the single-leaf mask so interference is empty and
+    #   cv2.distanceTransform of the all-ones complement returns FLT_MAX
+    #   -> isolation degenerates to height_pref * mask, no EDTs
+    #   (leaf_grasp_node_v3.py:117-119 + grasp_point_selector.py:605-617).
+    isolation_context: str = "union"
     height_pref_top: float = 1.0
     height_pref_bottom: float = 0.2
 

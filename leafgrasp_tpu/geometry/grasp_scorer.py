@@ -187,11 +187,13 @@ def stem_penalty_map(leaf_mask: jnp.ndarray,
     return stem.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas",
+                                              "skip_isolation"))
 def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
                          depth: jnp.ndarray, camera_cx, camera_cy, f_norm,
                          cfg: GraspScoringConfig = GraspScoringConfig(),
-                         use_pallas: bool = False) -> GraspScores:
+                         use_pallas: bool = False,
+                         skip_isolation: bool = False) -> GraspScores:
     """All score maps + traditional score + valid region for one leaf.
 
     leaf_mask : (H, W) bool -- the selected leaf
@@ -208,17 +210,29 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     mf = m.astype(jnp.float32)
     depth = jnp.asarray(depth, jnp.float32)
 
-    # The four distance fields batch into ONE fused EDT program; the
+    # The distance fields batch into ONE fused EDT program; the
     # inside-distance is shared by sdf_score and distance_map (the
     # reference recomputes it, grasp_point_selector.py:266+529).
-    other = jnp.asarray(all_mask, bool) & ~m
+    # isolation_context/skip_isolation can drop the two interference
+    # fields entirely (isolation feeds only the CNN patch channels).
     from leafgrasp_tpu.ops.edt import edt_batch
-    seeds = jnp.stack([
-        ~m, m,
-        dilate(other, elliptical_kernel(cfg.isolation_close_kernel)),
-        dilate(other, elliptical_kernel(cfg.isolation_wide_kernel)),
-    ])
-    din, dout, dclose, dwide = edt_batch(seeds)
+    need_iso_edt = (not skip_isolation
+                    and cfg.isolation_context == "union")
+    if need_iso_edt:
+        other = jnp.asarray(all_mask, bool) & ~m
+        seeds = jnp.stack([
+            ~m, m,
+            dilate(other, elliptical_kernel(cfg.isolation_close_kernel)),
+            dilate(other, elliptical_kernel(cfg.isolation_wide_kernel)),
+        ])
+        din, dout, dclose, dwide = edt_batch(seeds)
+    else:
+        din, dout = edt_batch(jnp.stack([~m, m]))
+        # reference_self: empty interference -> cv2 FLT_MAX field ->
+        # normalized score 1 everywhere; skip: zero field -> score 0
+        fill = 0.0 if skip_isolation else 1.0
+        dclose = jnp.full_like(din, fill)
+        dwide = jnp.full_like(din, fill)
 
     if use_pallas:
         from leafgrasp_tpu.ops.pallas_scoring import fused_score_maps

@@ -66,7 +66,7 @@ def nearest_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def squared_edt(seeds: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+def squared_edt(seeds: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
     """Exact squared L2 distance from every pixel to the nearest True seed.
 
     seeds : (H, W) bool. Returns (H, W) float32. Pixels on a seed -> 0.
@@ -103,12 +103,12 @@ def squared_edt(seeds: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
     return d2
 
 
-def edt(seeds: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+def edt(seeds: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
     """Exact L2 distance to the nearest True seed. (H, W) float32."""
     return jnp.sqrt(squared_edt(seeds, chunk=chunk))
 
 
-def edt_batch(seeds: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+def edt_batch(seeds: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
     """Exact L2 EDT over a (C, H, W) batch of seed masks in one fused
     program (the grasp scorer needs 4 fields per frame; batching them
     amortizes pass-2's scan)."""
@@ -117,7 +117,7 @@ def edt_batch(seeds: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
     return jnp.sqrt(jax.vmap(f)(jnp.asarray(seeds, bool)))
 
 
-def signed_edt(mask: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+def signed_edt(mask: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
     """Signed distance field: positive inside `mask`, negative outside.
 
     Matches the reference's ``dist_inside - dist_outside`` construction

@@ -69,9 +69,12 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
     leaf = mask_ids == sel.best_leaf_id
     all_mask = mask_ids > 0
 
+    # isolation feeds only the CNN patch channels -> skip its EDT fields
+    # entirely in CV-only mode
     scores = compute_grasp_scores(leaf, all_mask, depth, camera_cx,
                                   camera_cy, f_norm, cfg=cfg.grasp,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas,
+                                  skip_isolation=cnn_apply is None)
     cand = topk_min_distance(scores.traditional_score, scores.valid_region,
                              k=cfg.grasp.top_k,
                              min_distance=cfg.grasp.min_candidate_distance)

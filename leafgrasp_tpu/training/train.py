@@ -72,7 +72,8 @@ def bce_with_logits(logits, labels, pos_weight: float, mask=None):
 def analyze_predictions(logits: np.ndarray, labels: np.ndarray,
                         threshold: float = 0.5) -> Dict[str, Any]:
     """Reference metric block (train_model.py:64-100). NOTE: thresholds
-    raw logits, reproducing the reference's quirk."""
+    raw logits at 0.5, reproducing the reference's quirk (equivalent to
+    p > 0.62); pass threshold=0.0 for the calibrated p > 0.5 decision."""
     predicted = (logits.reshape(-1) > threshold).astype(np.float32)
     labels = labels.reshape(-1)
     tp = int(((predicted == 1) & (labels == 1)).sum())
@@ -151,8 +152,9 @@ class TrainResult:
     norm_stats: NormStats
     best_val_loss: float
     best_epoch: int
-    metrics: Dict[str, Any]
+    metrics: Dict[str, Any]           # metrics at the best epoch
     history: Dict[str, list]
+    final_metrics: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 class Trainer:
@@ -229,6 +231,7 @@ class Trainer:
         history = {"train_loss": [], "val_loss": [], "metrics": [],
                    "lr": []}
         final_metrics = {}
+        best_metrics = {}
 
         va_mask = self._batch_pad_mask(va_feats.shape[0], bs)
         va_feats_p, va_labels_p = self._pad(va_feats, bs), \
@@ -269,6 +272,14 @@ class Trainer:
             logits_all = np.concatenate(val_logits)[:va_feats.shape[0]]
             metrics = analyze_predictions(logits_all,
                                           np.asarray(va_labels))
+            # calibrated decision boundary (p > 0.5 <=> logit > 0); the
+            # reference's 0.5-on-logits quirk under-reports calibrated
+            # models, so both are tracked
+            calibrated = analyze_predictions(logits_all,
+                                             np.asarray(va_labels),
+                                             threshold=0.0)
+            metrics = dict(metrics)
+            metrics["calibrated"] = calibrated
             final_metrics = metrics
 
             history["train_loss"].append(train_loss)
@@ -288,6 +299,7 @@ class Trainer:
                 best_val = val_loss
                 best_epoch = epoch
                 best_params, best_bs = params, batch_stats
+                best_metrics = metrics
                 plateau_wait = 0
             else:
                 plateau_wait += 1
@@ -308,8 +320,9 @@ class Trainer:
 
         return TrainResult(params=best_params, batch_stats=best_bs,
                            norm_stats=norm_stats, best_val_loss=best_val,
-                           best_epoch=best_epoch, metrics=final_metrics,
-                           history=history)
+                           best_epoch=best_epoch,
+                           metrics=best_metrics or final_metrics,
+                           final_metrics=final_metrics, history=history)
 
     @staticmethod
     def _pad(arr, bs):
