@@ -221,3 +221,22 @@ def test_assemble_cnn_inputs_channels(small_scene):
     assert feats[:, :, :, 0].min() >= 0 and feats[:, :, :, 0].max() <= 1
     # mask channel is binary
     assert set(np.unique(feats[:, :, :, 1])) <= {0.0, 1.0}
+
+
+def test_simple_scorer_v2_legacy():
+    from leafgrasp_tpu.geometry.simple_scorer import select_leaf_simple
+    mask, depth = _scene(3)
+    sel = select_leaf_simple(mask, depth, max_leaves=8, min_area=1500,
+                             depth_threshold=0.7)
+    assert bool(sel.found)
+    lid = int(sel.best_leaf_id)
+    assert lid >= 1
+    u, v = np.asarray(sel.centroid_uv)
+    ys, xs = np.where(mask == lid)
+    assert abs(u - xs.mean()) < 1.0 and abs(v - ys.mean()) < 1.0
+    s = np.asarray(sel.scores)
+    assert (s >= 0).all() and (s <= 1 + 1e-6).all()
+    # depth gate: all-far scene yields nothing
+    sel2 = select_leaf_simple(mask, depth + 1.0, max_leaves=8,
+                              min_area=1500, depth_threshold=0.7)
+    assert not bool(sel2.found)
