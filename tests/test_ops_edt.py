@@ -81,3 +81,33 @@ def test_odd_sizes_and_chunk_remainder():
     ours = np.asarray(edt(seeds, chunk=32))
     ref = _scipy_dist_to_seeds(seeds)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_banded_edt_matches_full_sweep(small_scene):
+    from leafgrasp_tpu.ops.edt import squared_edt_full
+    mask, _ = small_scene
+    for seeds in (mask > 0, mask == 1, mask == 2, ~(mask == 3)):
+        banded = np.asarray(squared_edt(seeds))
+        full = np.asarray(squared_edt_full(seeds))
+        np.testing.assert_array_equal(banded, full)
+
+
+def test_banded_edt_sparse_and_empty(rng):
+    from leafgrasp_tpu.ops.edt import squared_edt_full
+    h, w = 64, 200
+    # single far seed (stresses the band bound)
+    seeds = np.zeros((h, w), bool)
+    seeds[3, 190] = True
+    np.testing.assert_array_equal(np.asarray(squared_edt(seeds)),
+                                  np.asarray(squared_edt_full(seeds)))
+    # no seeds at all: graceful degradation to the sentinel
+    empty = np.zeros((h, w), bool)
+    d2 = np.asarray(squared_edt(empty))
+    assert np.isfinite(d2).all() and (d2 >= 64).all()
+    # random sprinkles
+    for seed in range(3):
+        s = np.zeros((h, w), bool)
+        pts = rng.integers(0, [h, w], size=(7, 2))
+        s[pts[:, 0], pts[:, 1]] = True
+        np.testing.assert_array_equal(np.asarray(squared_edt(s)),
+                                      np.asarray(squared_edt_full(s)))
