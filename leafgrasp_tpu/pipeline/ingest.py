@@ -31,7 +31,28 @@ from leafgrasp_tpu.io.framebus import FrameBus
 from leafgrasp_tpu.pipeline.frame import make_frame_fn, select_grasp
 from leafgrasp_tpu.utils.profiler import StageTimer
 
-__all__ = ["GraspService", "format_result_message", "leaf_candidates"]
+__all__ = ["GraspService", "format_result_message", "leaf_candidates",
+           "compact_instance_ids"]
+
+
+def compact_instance_ids(mask: np.ndarray, max_leaves: int):
+    """Remap arbitrary instance ids (e.g. YOLO tracking ids) onto the
+    jit-friendly 1..max_leaves slot range. Returns (remapped int32 mask,
+    slot -> original-id lookup). Ids beyond max_leaves (by area rank,
+    largest kept) are dropped to background."""
+    mask = np.asarray(mask)
+    ids, counts = np.unique(mask[mask > 0], return_counts=True)
+    if len(ids) > max_leaves:
+        keep = ids[np.argsort(-counts)][:max_leaves]
+        keep = np.sort(keep)
+    else:
+        keep = ids
+    out = np.zeros(mask.shape, np.int32)
+    lookup = {}
+    for slot, orig in enumerate(keep, start=1):
+        out[mask == orig] = slot
+        lookup[slot] = int(orig)
+    return out, lookup
 
 
 def format_result_message(grasp_uv, grasp_xyz, pre_grasp_xyz=None) -> str:
