@@ -254,3 +254,19 @@ def test_online_train_preset():
     assert ONLINE_TRAIN_CONFIG.pos_weight == 1.5
     assert ONLINE_TRAIN_CONFIG.batch_size == 8
     assert ONLINE_TRAIN_CONFIG.learning_rate == 1e-3
+
+
+def test_compact_instance_ids():
+    from leafgrasp_tpu.pipeline.ingest import compact_instance_ids
+    mask = np.zeros((20, 20), np.int32)
+    mask[0:5, 0:5] = 37          # 25 px
+    mask[10:20, 10:20] = 1042    # 100 px
+    mask[0:2, 10:12] = 7         # 4 px
+    out, lookup = compact_instance_ids(mask, max_leaves=2)
+    # largest two kept, slots ordered by original id
+    assert set(lookup.values()) == {37, 1042}
+    assert set(np.unique(out)) <= {0, 1, 2}
+    for slot, orig in lookup.items():
+        assert ((out == slot) == (mask == orig)).all()
+    # small id 7 dropped to background
+    assert (out[mask == 7] == 0).all()
