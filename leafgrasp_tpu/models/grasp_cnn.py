@@ -15,7 +15,6 @@ Differences by design:
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

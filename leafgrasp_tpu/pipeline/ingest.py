@@ -28,7 +28,7 @@ import numpy as np
 from leafgrasp_tpu.config import PipelineConfig, DEFAULT_CONFIG, \
     CameraConfig
 from leafgrasp_tpu.io.framebus import FrameBus
-from leafgrasp_tpu.pipeline.frame import make_frame_fn, select_grasp
+from leafgrasp_tpu.pipeline.frame import make_frame_fn
 from leafgrasp_tpu.utils.profiler import StageTimer
 
 __all__ = ["GraspService", "format_result_message", "leaf_candidates",
@@ -219,7 +219,6 @@ class GraspService:
 
     def _reselect(self, mask, depth, leaf_id: int):
         """Pixel selection constrained to a specific leaf id."""
-        import jax.numpy as jnp
         # reuse select_grasp with a remapped mask: keep only this leaf
         remapped = np.where(mask == leaf_id, leaf_id, 0).astype(np.int32)
         cam = self.camera

@@ -1,0 +1,464 @@
+"""LLaVA-architecture-faithful JAX implementation + HF weight converter.
+
+The reference's VLA is ``llava-hf/llava-v1.6-mistral-7b-hf`` behind
+`transformers` (reference llava_processor.py:18-31).  This module
+implements the same architecture natively in Flax -- CLIP vision tower,
+multimodal projector, Mistral decoder with GQA + RoPE + RMSNorm -- and a
+converter from HuggingFace state dicts, so the real 7B weights drop in
+unchanged on TPU.  Numerics are verified against a randomly initialized
+`transformers` LLaVA at tiny scale (tests/test_llava_jax.py): logits
+match to float32 tolerance.
+
+Scope notes:
+* the single-tile (LLaVA-1.5-style) image path is implemented on-device;
+  LLaVA-NeXT's anyres tiling is a host-side preprocessing step
+  (crop/resize to grid pinpoints) that composes with this forward;
+* TP sharding reuses parallel/sharding.py rules (q/k/v/o, gate/up/down
+  and lm_head kernels shard over the `model` axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from leafgrasp_tpu.vla.lora import LoRADense
+
+__all__ = ["LlavaJaxConfig", "LlavaJax", "convert_hf_llava_state_dict",
+           "config_from_hf", "greedy_generate_llava"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaJaxConfig:
+    # vision (CLIP)
+    vis_hidden: int = 1024
+    vis_intermediate: int = 4096
+    vis_layers: int = 24
+    vis_heads: int = 16
+    image_size: int = 336
+    patch_size: int = 14
+    vision_feature_layer: int = -2
+    drop_cls_token: bool = True           # 'default' select strategy
+    # text (Mistral)
+    vocab_size: int = 32064
+    hidden: int = 4096
+    intermediate: int = 14336
+    layers: int = 32
+    heads: int = 32
+    kv_heads: int = 8
+    rope_theta: float = 1e6
+    rms_eps: float = 1e-5
+    # fusion
+    image_token_index: int = 32000
+    # LoRA on the language model's q/k/v/o/gate/up/down projections
+    # (the reference's adapter target set, vla_trainer.py:36-41)
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+def config_from_hf(hf_config) -> "LlavaJaxConfig":
+    v = hf_config.vision_config
+    t = hf_config.text_config
+    return LlavaJaxConfig(
+        vis_hidden=v.hidden_size, vis_intermediate=v.intermediate_size,
+        vis_layers=v.num_hidden_layers, vis_heads=v.num_attention_heads,
+        image_size=v.image_size, patch_size=v.patch_size,
+        vision_feature_layer=hf_config.vision_feature_layer,
+        drop_cls_token=(getattr(hf_config, "vision_feature_select_strategy",
+                                "default") == "default"),
+        vocab_size=t.vocab_size, hidden=t.hidden_size,
+        intermediate=t.intermediate_size, layers=t.num_hidden_layers,
+        heads=t.num_attention_heads, kv_heads=t.num_key_value_heads,
+        rope_theta=float(getattr(t, "rope_theta", 10000.0)),
+        rms_eps=float(getattr(t, "rms_norm_eps", 1e-6)),
+        image_token_index=hf_config.image_token_index,
+    )
+
+
+# ------------------------------------------------------------ CLIP tower --
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class _ClipAttention(nn.Module):
+    cfg: LlavaJaxConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        hd = c.vis_hidden // c.vis_heads
+        q = nn.Dense(c.vis_hidden, name="q_proj")(x)
+        k = nn.Dense(c.vis_hidden, name="k_proj")(x)
+        v = nn.Dense(c.vis_hidden, name="v_proj")(x)
+        b, t = x.shape[:2]
+
+        def split(a):
+            return a.reshape(b, t, c.vis_heads, hd)
+
+        scores = jnp.einsum("bthd,bshd->bhts", split(q) / jnp.sqrt(hd),
+                            split(k),
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, split(v))
+        return nn.Dense(c.vis_hidden, name="out_proj")(
+            out.reshape(b, t, c.vis_hidden))
+
+
+class _ClipLayer(nn.Module):
+    cfg: LlavaJaxConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
+        x = x + _ClipAttention(c, name="self_attn")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
+        h = nn.Dense(c.vis_intermediate, name="fc1")(h)
+        h = _quick_gelu(h)
+        x = x + nn.Dense(c.vis_hidden, name="fc2")(h)
+        return x
+
+
+class ClipVisionTower(nn.Module):
+    cfg: LlavaJaxConfig
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        """pixel_values: (B, H, W, 3) -> selected hidden states
+        (B, num_patches[+1], vis_hidden)."""
+        c = self.cfg
+        b = pixel_values.shape[0]
+        patches = nn.Conv(c.vis_hidden,
+                          (c.patch_size, c.patch_size),
+                          strides=(c.patch_size, c.patch_size),
+                          use_bias=False, name="patch_embedding")(
+            pixel_values)
+        patches = patches.reshape(b, -1, c.vis_hidden)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (c.vis_hidden,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, c.vis_hidden)), patches], axis=1)
+        n_pos = x.shape[1]
+        pos = self.param("position_embedding",
+                         nn.initializers.normal(0.02),
+                         (n_pos, c.vis_hidden))
+        x = x + pos[None]
+        x = nn.LayerNorm(epsilon=1e-5, name="pre_layrnorm")(x)
+
+        # HF collects hidden_states = [emb, after layer 0, ...] and takes
+        # [vision_feature_layer]; all layers still run so every layer's
+        # params exist (7B checkpoints load completely).
+        n_keep = c.vis_layers + 1 + c.vision_feature_layer \
+            if c.vision_feature_layer < 0 else c.vision_feature_layer
+        selected = x
+        for i in range(c.vis_layers):
+            x = _ClipLayer(c, name=f"layer_{i}")(x)
+            if i + 1 == n_keep:
+                selected = x
+        if c.drop_cls_token:
+            selected = selected[:, 1:]
+        return selected
+
+
+# -------------------------------------------------------------- Mistral --
+
+def _proj(features: int, name: str, lora: dict):
+    """Language-model projection: plain Dense, or LoRADense (base kernel
+    nested under '<name>/base') when a LoRA rank is configured."""
+    if lora["rank"] > 0:
+        return LoRADense(features, rank=lora["rank"],
+                         alpha=lora["alpha"], dropout=lora["dropout"],
+                         use_bias=False, name=name)
+    return nn.Dense(features, use_bias=False, name=name)
+
+
+class _RMSNorm(nn.Module):
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x.astype(jnp.float32)
+                * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * w
+
+
+def _rope_hf(x, positions, theta):
+    """HF rotate_half convention: pairs split at half-dim."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32)
+                             * 2.0 / d))
+    ang = positions[..., None].astype(jnp.float32) * freqs
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)[..., None, :]
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)[..., None, :]
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return x * cos + rot * sin
+
+
+class _MistralAttention(nn.Module):
+    cfg: LlavaJaxConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache=None):
+        c = self.cfg
+        hd = c.head_dim
+        b, t = x.shape[:2]
+        lora = dict(rank=c.lora_rank, alpha=c.lora_alpha,
+                    dropout=c.lora_dropout)
+        q = _proj(c.heads * hd, "q_proj", lora)(x)
+        k = _proj(c.kv_heads * hd, "k_proj", lora)(x)
+        v = _proj(c.kv_heads * hd, "v_proj", lora)(x)
+        q = _rope_hf(q.reshape(b, t, c.heads, hd), positions, c.rope_theta)
+        k = _rope_hf(k.reshape(b, t, c.kv_heads, hd), positions,
+                     c.rope_theta)
+        v = v.reshape(b, t, c.kv_heads, hd)
+
+        if cache is not None:
+            ck, cv, cur = cache
+            k = jax.lax.dynamic_update_slice(ck, k, (0, cur, 0, 0))
+            v = jax.lax.dynamic_update_slice(cv, v, (0, cur, 0, 0))
+            cache = (k, v, cur + t)
+
+        rep = c.heads // c.kv_heads
+        kr = jnp.repeat(k, rep, axis=2)
+        vr = jnp.repeat(v, rep, axis=2)
+        scores = jnp.einsum("bthd,bshd->bhts", q, kr,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(hd))
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, vr)
+        out = _proj(c.hidden, "o_proj", lora)(
+            out.reshape(b, t, c.heads * hd))
+        return out, cache
+
+
+class _MistralLayer(nn.Module):
+    cfg: LlavaJaxConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache=None):
+        c = self.cfg
+        h, cache = _MistralAttention(c, name="self_attn")(
+            _RMSNorm(c.rms_eps, name="input_layernorm")(x),
+            positions, mask, cache)
+        x = x + h
+        h = _RMSNorm(c.rms_eps, name="post_attention_layernorm")(x)
+        lora = dict(rank=c.lora_rank, alpha=c.lora_alpha,
+                    dropout=c.lora_dropout)
+        gate = _proj(c.intermediate, "gate_proj", lora)(h)
+        up = _proj(c.intermediate, "up_proj", lora)(h)
+        x = x + _proj(c.hidden, "down_proj", lora)(nn.silu(gate) * up)
+        return x, cache
+
+
+class LlavaJax(nn.Module):
+    cfg: LlavaJaxConfig
+
+    @nn.compact
+    def __call__(self, input_ids, pixel_values=None, positions=None,
+                 mask=None, caches=None):
+        """input_ids: (B, T); pixel_values: (B, H, W, 3) or None.
+        Image-token rows of the text embedding are replaced by projected
+        vision features (HF placeholder-splicing semantics).
+        Returns (logits (B, T, vocab), caches)."""
+        c = self.cfg
+        emb = nn.Embed(c.vocab_size, c.hidden, name="embed_tokens")
+        x = emb(input_ids)
+
+        # Vision params materialize at init (init always passes an
+        # image); text-only apply calls (decode steps) skip the tower --
+        # flax.apply ignores unused parameter subtrees.
+        if pixel_values is not None:
+            feats = ClipVisionTower(c, name="vision_tower")(pixel_values)
+            h = nn.Dense(c.hidden, name="mm_linear_1")(feats)
+            h = jax.nn.gelu(h, approximate=False)
+            feats = nn.Dense(c.hidden, name="mm_linear_2")(h)
+            flat = feats.reshape(-1, c.hidden)
+            is_img = (input_ids == c.image_token_index)
+            # k-th image token row <- k-th vision feature row
+            img_order = jnp.cumsum(is_img.reshape(-1)) - 1
+            take = jnp.take(flat,
+                            jnp.clip(img_order, 0, flat.shape[0] - 1),
+                            axis=0).reshape(x.shape)
+            x = jnp.where(is_img[..., None], take, x)
+
+        b, t = input_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        if mask is None:
+            mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+        new_caches = []
+        for i in range(c.layers):
+            cache = caches[i] if caches is not None else None
+            x, nc = _MistralLayer(c, name=f"layer_{i}")(x, positions, mask,
+                                                        cache)
+            new_caches.append(nc)
+        x = _RMSNorm(c.rms_eps, name="norm")(x)
+        logits = nn.Dense(c.vocab_size, use_bias=False, name="lm_head")(x)
+        return logits, (new_caches if caches is not None else None)
+
+
+# ------------------------------------------------------------ converter --
+
+def _t(x):
+    return jnp.asarray(np.asarray(x.detach().cpu().numpy()
+                                  if hasattr(x, "detach") else x))
+
+
+def convert_hf_llava_state_dict(sd: Dict[str, Any],
+                                cfg: LlavaJaxConfig) -> Dict:
+    """HF LlavaForConditionalGeneration state_dict -> LlavaJax params.
+
+    Handles both transformers layouts ('model.vision_tower...' new and
+    'vision_tower...' old prefixes). Linear kernels transpose (out,in) ->
+    (in,out); the CLIP patch Conv transposes (D,3,ph,pw) -> (ph,pw,3,D).
+    """
+    sd = { (k[6:] if k.startswith("model.") else k): v
+           for k, v in sd.items() }
+
+    def lin(prefix, bias=True):
+        out = {"kernel": _t(sd[prefix + ".weight"]).T}
+        if bias and prefix + ".bias" in sd:
+            out["bias"] = _t(sd[prefix + ".bias"])
+        return out
+
+    p: Dict[str, Any] = {}
+
+    # vision tower
+    vt = "vision_tower.vision_model"
+    tower = {
+        "class_embedding": _t(sd[f"{vt}.embeddings.class_embedding"]),
+        "position_embedding": _t(
+            sd[f"{vt}.embeddings.position_embedding.weight"]),
+        "patch_embedding": {"kernel": _t(
+            sd[f"{vt}.embeddings.patch_embedding.weight"]).transpose(
+                2, 3, 1, 0)},
+        "pre_layrnorm": {
+            "scale": _t(sd[f"{vt}.pre_layrnorm.weight"]),
+            "bias": _t(sd[f"{vt}.pre_layrnorm.bias"])},
+    }
+    for i in range(cfg.vis_layers):
+        li = f"{vt}.encoder.layers.{i}"
+        tower[f"layer_{i}"] = {
+            "layer_norm1": {"scale": _t(sd[f"{li}.layer_norm1.weight"]),
+                            "bias": _t(sd[f"{li}.layer_norm1.bias"])},
+            "layer_norm2": {"scale": _t(sd[f"{li}.layer_norm2.weight"]),
+                            "bias": _t(sd[f"{li}.layer_norm2.bias"])},
+            "self_attn": {
+                "q_proj": lin(f"{li}.self_attn.q_proj"),
+                "k_proj": lin(f"{li}.self_attn.k_proj"),
+                "v_proj": lin(f"{li}.self_attn.v_proj"),
+                "out_proj": lin(f"{li}.self_attn.out_proj"),
+            },
+            "fc1": lin(f"{li}.mlp.fc1"),
+            "fc2": lin(f"{li}.mlp.fc2"),
+        }
+    p["vision_tower"] = tower
+
+    p["mm_linear_1"] = lin("multi_modal_projector.linear_1")
+    p["mm_linear_2"] = lin("multi_modal_projector.linear_2")
+
+    lm = "language_model"
+    if f"{lm}.model.embed_tokens.weight" in sd:   # old nesting
+        lm = "language_model.model"
+    p["embed_tokens"] = {"embedding": _t(sd[f"{lm}.embed_tokens.weight"])}
+
+    def maybe_lora(base):
+        # LoRA configs nest the frozen kernel under 'base'; lora_a/b are
+        # overlaid afterwards via attach_lora()
+        return {"base": base} if cfg.lora_rank > 0 else base
+
+    for i in range(cfg.layers):
+        li = f"{lm}.layers.{i}"
+        p[f"layer_{i}"] = {
+            "input_layernorm": {"weight": _t(
+                sd[f"{li}.input_layernorm.weight"])},
+            "post_attention_layernorm": {"weight": _t(
+                sd[f"{li}.post_attention_layernorm.weight"])},
+            "self_attn": {
+                "q_proj": maybe_lora(lin(f"{li}.self_attn.q_proj",
+                                         bias=False)),
+                "k_proj": maybe_lora(lin(f"{li}.self_attn.k_proj",
+                                         bias=False)),
+                "v_proj": maybe_lora(lin(f"{li}.self_attn.v_proj",
+                                         bias=False)),
+                "o_proj": maybe_lora(lin(f"{li}.self_attn.o_proj",
+                                         bias=False)),
+            },
+            "gate_proj": maybe_lora(lin(f"{li}.mlp.gate_proj",
+                                        bias=False)),
+            "up_proj": maybe_lora(lin(f"{li}.mlp.up_proj", bias=False)),
+            "down_proj": maybe_lora(lin(f"{li}.mlp.down_proj",
+                                        bias=False)),
+        }
+    p["norm"] = {"weight": _t(sd[f"{lm}.norm.weight"])}
+    p["lm_head"] = {"kernel": _t(sd["lm_head.weight"]).T}
+    return {"params": p}
+
+
+def attach_lora(model: "LlavaJax", variables: Dict, rng) -> Dict:
+    """Overlay freshly initialized LoRA leaves (lora_a ~ N, lora_b = 0)
+    onto converted base weights for a lora_rank > 0 config."""
+    import flax.traverse_util as tu
+    c = model.cfg
+    dummy_ids = jnp.zeros((1, 4), jnp.int32)
+    dummy_px = jnp.zeros((1, c.image_size, c.image_size, 3), jnp.float32)
+    fresh = model.init(rng, dummy_ids, pixel_values=dummy_px)
+    flat = dict(tu.flatten_dict(fresh["params"]))
+    for k, v in tu.flatten_dict(variables["params"]).items():
+        flat[k] = v
+    return {"params": tu.unflatten_dict(flat)}
+
+
+def greedy_generate_llava(model: LlavaJax, variables, input_ids,
+                          pixel_values=None,
+                          max_new_tokens: int = 10) -> jnp.ndarray:
+    """Greedy decode with a prefill + single-token KV-cache loop."""
+    c = model.cfg
+    b, t = input_ids.shape
+    total = t + max_new_tokens
+    caches = [(jnp.zeros((b, total, c.kv_heads, c.head_dim), jnp.float32),
+               jnp.zeros((b, total, c.kv_heads, c.head_dim), jnp.float32),
+               jnp.int32(0)) for _ in range(c.layers)]
+
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    mask = jnp.tril(jnp.ones((t, total), bool))[None, None]
+    logits, caches = model.apply(variables, input_ids,
+                                 pixel_values=pixel_values,
+                                 positions=positions, mask=mask,
+                                 caches=caches)
+    last = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    def step(carry, i):
+        caches, tok = carry
+        pos = t + i
+        positions = jnp.full((b, 1), pos, jnp.int32)
+        key_idx = jnp.arange(total)
+        mask = key_idx[None, None, None, :] <= pos
+        logits, caches = model.apply(variables, tok[:, None],
+                                     positions=positions, mask=mask,
+                                     caches=caches)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return (caches, nxt), tok
+
+    (_, _), toks = jax.lax.scan(step, (caches, last),
+                                jnp.arange(max_new_tokens))
+    return jnp.moveaxis(toks, 0, 1)
