@@ -19,6 +19,13 @@ from leafgrasp_tpu.vla.trainer import (VLATrainer,
                                        spearman_correlation)
 from leafgrasp_tpu.vla.lm import (TinyVLA, VLAModelConfig, ByteTokenizer,
                                   greedy_generate, init_vla)
+from leafgrasp_tpu.vla.llava_jax import (LlavaJax, LlavaJaxConfig,
+                                         config_from_hf,
+                                         convert_hf_llava_state_dict,
+                                         greedy_generate_llava)
+from leafgrasp_tpu.vla.llava_runtime import (LlavaJaxScorer,
+                                             load_llava_from_hf,
+                                             preprocess_image)
 
 __all__ = [
     "HybridGraspSelector", "HybridSelector", "confidence_weights",
@@ -27,4 +34,7 @@ __all__ = [
     "build_prompt", "parse_score", "VLATrainer",
     "make_synthetic_vla_dataset", "spearman_correlation", "TinyVLA",
     "VLAModelConfig", "ByteTokenizer", "greedy_generate", "init_vla",
+    "LlavaJax", "LlavaJaxConfig", "config_from_hf",
+    "convert_hf_llava_state_dict", "greedy_generate_llava",
+    "LlavaJaxScorer", "load_llava_from_hf", "preprocess_image",
 ]

@@ -1,0 +1,111 @@
+"""Serving glue for the LLaVA JAX stack: loader + candidate scorer.
+
+``load_llava_from_hf`` turns a local HuggingFace checkpoint (e.g.
+``llava-hf/llava-v1.6-mistral-7b-hf`` downloaded to disk) into
+(model, variables, tokenizer); ``LlavaJaxScorer`` is the
+VLAProcessor backend that evaluates grasp candidates with it -- the
+JAX-native replacement for the reference's transformers pipeline
+(llava_processor.py:18-101), same prompt template, same parse contract.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from leafgrasp_tpu.vla.processor import build_prompt, parse_score
+
+__all__ = ["load_llava_from_hf", "LlavaJaxScorer", "CLIP_IMAGE_MEAN",
+           "CLIP_IMAGE_STD", "preprocess_image"]
+
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess_image(image: np.ndarray, size: int) -> np.ndarray:
+    """RGB image -> (1, size, size, 3) CLIP-normalized float32 (the
+    single-tile path; LLaVA-NeXT anyres tiling composes on top)."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    if img.max() > 1.5:
+        img = img / 255.0
+    h, w = img.shape[:2]
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    img = img[ys][:, xs]
+    img = (img - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    return img[None]
+
+
+def load_llava_from_hf(model_path: str, lora_rank: int = 0,
+                       dtype: str = "float32"):
+    """Load a local HF LLaVA checkpoint into the JAX stack.
+
+    Requires the checkpoint (config + weights + tokenizer) on disk;
+    in zero-egress environments ship it via the image. Returns
+    (LlavaJax model, variables, tokenizer).
+    """
+    import dataclasses
+    import jax
+    from transformers import AutoTokenizer, LlavaForConditionalGeneration
+    from leafgrasp_tpu.vla.llava_jax import (LlavaJax, config_from_hf,
+                                             convert_hf_llava_state_dict,
+                                             attach_lora)
+
+    hf = LlavaForConditionalGeneration.from_pretrained(model_path)
+    cfg = config_from_hf(hf.config)
+    if lora_rank > 0:
+        cfg = dataclasses.replace(cfg, lora_rank=lora_rank)
+    model = LlavaJax(cfg)
+    variables = convert_hf_llava_state_dict(hf.state_dict(), cfg)
+    if lora_rank > 0:
+        variables = attach_lora(model, variables, jax.random.PRNGKey(0))
+    tokenizer = AutoTokenizer.from_pretrained(model_path)
+    return model, variables, tokenizer
+
+
+class LlavaJaxScorer:
+    """VLAProcessor backend running the LLaVA JAX stack.
+
+    tokenizer: any object with encode(text)->ids and decode(ids)->str
+    (the HF tokenizer, or a test stub). Image tokens are inserted as
+    ``num_patches`` copies of image_token_index before the prompt, the
+    HF-processor convention.
+    """
+
+    def __init__(self, model, variables, tokenizer,
+                 max_new_tokens: int = 10):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.max_new_tokens = max_new_tokens
+
+    def _encode(self, prompt: str, with_image: bool) -> np.ndarray:
+        ids = list(self.tokenizer.encode(prompt))
+        if with_image:
+            c = self.model.cfg
+            ids = [c.image_token_index] * c.num_patches + ids
+        return np.asarray([ids], np.int32)
+
+    def score(self, image, candidates: List[dict],
+              instruction: str) -> List[float]:
+        import jax.numpy as jnp
+        from leafgrasp_tpu.vla.llava_jax import greedy_generate_llava
+
+        px = None
+        if image is not None:
+            px = jnp.asarray(preprocess_image(
+                image, self.model.cfg.image_size))
+        out = []
+        for cand in candidates:
+            prompt = build_prompt(cand, instruction)
+            ids = self._encode(prompt, with_image=px is not None)
+            gen = greedy_generate_llava(self.model, self.variables,
+                                        jnp.asarray(ids),
+                                        pixel_values=px,
+                                        max_new_tokens=self.max_new_tokens)
+            text = self.tokenizer.decode(np.asarray(gen)[0].tolist())
+            out.append(parse_score(text))
+        return out

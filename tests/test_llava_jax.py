@@ -131,3 +131,39 @@ def test_lora_rank_zero_delta_preserves_logits(tiny_pair):
     n_lora = sum(int(np.asarray(m).sum() > 0)
                  for m in _j.tree.leaves(mask))
     assert n_lora == 2 * 7 * lcfg.layers  # a+b per 7 targets per layer
+
+
+class _StubTokenizer:
+    """Byte-level stub with the tiny model's 128-vocab."""
+
+    def encode(self, text):
+        return [1] + [b % 90 + 2 for b in text.encode("utf-8")][:40]
+
+    def decode(self, ids):
+        return "0.5"   # parseable constant
+
+
+def test_llava_scorer_end_to_end(tiny_pair):
+    from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
+    from leafgrasp_tpu.vla import VLAProcessor, HybridGraspSelector
+    hf, model, variables, cfg = tiny_pair
+    scorer = LlavaJaxScorer(model, variables, _StubTokenizer(),
+                            max_new_tokens=4)
+    cands = [dict(x=3, y=4, geometric_score=0.9),
+             dict(x=9, y=2, geometric_score=0.4)]
+    img = np.random.default_rng(0).random((40, 40, 3)).astype(np.float32)
+    scores = scorer.score(img, cands, "pick")
+    assert len(scores) == 2 and all(0 <= s <= 1 for s in scores)
+
+    sel = HybridGraspSelector(VLAProcessor(scorer))
+    best = sel.select_grasp_point(img, cands)
+    assert best is not None and "strategy" in best
+
+
+def test_preprocess_image():
+    from leafgrasp_tpu.vla.llava_runtime import preprocess_image
+    img = (np.random.default_rng(0).random((100, 80, 3)) * 255
+           ).astype(np.uint8)
+    out = preprocess_image(img, 28)
+    assert out.shape == (1, 28, 28, 3)
+    assert abs(float(out.mean())) < 3.0   # roughly CLIP-normalized
