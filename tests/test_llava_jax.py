@@ -167,3 +167,46 @@ def test_preprocess_image():
     out = preprocess_image(img, 28)
     assert out.shape == (1, 28, 28, 3)
     assert abs(float(out.mean())) < 3.0   # roughly CLIP-normalized
+
+
+def test_llava_lora_fine_tune(tiny_pair, tmp_path):
+    import dataclasses
+    import jax
+    from leafgrasp_tpu.vla.llava_jax import (LlavaJax,
+                                             convert_hf_llava_state_dict,
+                                             attach_lora)
+    from leafgrasp_tpu.vla.llava_trainer import LlavaLoRATrainer
+    from leafgrasp_tpu.vla.trainer import make_synthetic_vla_dataset
+    hf, _, _, cfg = tiny_pair
+    lcfg = dataclasses.replace(cfg, lora_rank=4, lora_alpha=8.0)
+    model = LlavaJax(lcfg)
+    variables = attach_lora(
+        model, convert_hf_llava_state_dict(hf.state_dict(), lcfg),
+        jax.random.PRNGKey(0))
+
+    class Tok:
+        def encode(self, text):
+            return [1] + [b % 90 + 2 for b in text.encode()][:60]
+
+    trainer = LlavaLoRATrainer(model, variables, Tok(),
+                               learning_rate=1e-3, max_len=96)
+    samples = make_synthetic_vla_dataset(2, seed=0, num_candidates=2,
+                                         image_size=28)
+    out = trainer.fine_tune(samples, epochs=2, batch_size=2)
+    assert np.isfinite(out["final_loss"])
+    assert out["final_loss"] < out["loss_history"][0] * 1.5
+    # only LoRA leaves changed
+    import flax.traverse_util as tu
+    before = tu.flatten_dict(attach_lora(
+        model, convert_hf_llava_state_dict(hf.state_dict(), lcfg),
+        jax.random.PRNGKey(0))["params"])
+    after = tu.flatten_dict(trainer.variables["params"])
+    for k in before:
+        changed = not np.allclose(np.asarray(before[k]),
+                                  np.asarray(after[k]))
+        is_lora = k[-1] in ("lora_a", "lora_b")
+        if changed:
+            assert is_lora, f"frozen weight changed: {k}"
+    path = str(tmp_path / "llava_adapter.npz")
+    trainer.save_adapter(path)
+    trainer.load_adapter(path)
