@@ -10,9 +10,9 @@ unchanged on TPU.  Numerics are verified against a randomly initialized
 match to float32 tolerance.
 
 Scope notes:
-* the single-tile (LLaVA-1.5-style) image path is implemented on-device;
-  LLaVA-NeXT's anyres tiling is a host-side preprocessing step
-  (crop/resize to grid pinpoints) that composes with this forward;
+* the single-tile (LLaVA-1.5) image path runs fully on-device; the
+  LLaVA-NeXT anyres path (tiling, unpadding, newline packing) lives in
+  vla/llava_next.py and is parity-verified against HF LlavaNext too;
 * TP sharding reuses parallel/sharding.py rules (q/k/v/o, gate/up/down
   and lm_head kernels shard over the `model` axis).
 """
@@ -55,6 +55,8 @@ class LlavaJaxConfig:
     rms_eps: float = 1e-5
     # fusion
     image_token_index: int = 32000
+    # anyres grid pinpoints ((h, w) pairs; None for single-tile v1.5)
+    image_grid_pinpoints: Optional[tuple] = None
     # LoRA on the language model's q/k/v/o/gate/up/down projections
     # (the reference's adapter target set, vla_trainer.py:36-41)
     lora_rank: int = 0
@@ -86,6 +88,9 @@ def config_from_hf(hf_config) -> "LlavaJaxConfig":
         rope_theta=float(getattr(t, "rope_theta", 10000.0)),
         rms_eps=float(getattr(t, "rms_norm_eps", 1e-6)),
         image_token_index=hf_config.image_token_index,
+        image_grid_pinpoints=tuple(
+            tuple(p) for p in getattr(hf_config, "image_grid_pinpoints",
+                                      None) or ()) or None,
     )
 
 
@@ -268,15 +273,34 @@ class _MistralLayer(nn.Module):
         return x, cache
 
 
+class _VisionProject(nn.Module):
+    """Vision tower + multimodal projector, applied standalone (shares
+    the top-level parameter names with LlavaJax, so LlavaJax variables
+    apply directly). Used by the anyres (LLaVA-NeXT) path to encode
+    tiles before the host-side packing."""
+
+    cfg: LlavaJaxConfig
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        c = self.cfg
+        feats = ClipVisionTower(c, name="vision_tower")(pixel_values)
+        h = nn.Dense(c.hidden, name="mm_linear_1")(feats)
+        h = jax.nn.gelu(h, approximate=False)
+        return nn.Dense(c.hidden, name="mm_linear_2")(h)
+
+
 class LlavaJax(nn.Module):
     cfg: LlavaJaxConfig
 
     @nn.compact
     def __call__(self, input_ids, pixel_values=None, positions=None,
-                 mask=None, caches=None):
+                 mask=None, caches=None, image_features=None):
         """input_ids: (B, T); pixel_values: (B, H, W, 3) or None.
         Image-token rows of the text embedding are replaced by projected
-        vision features (HF placeholder-splicing semantics).
+        vision features (HF placeholder-splicing semantics);
+        image_features (N, hidden) may be passed directly instead (the
+        anyres path packs tile features host-side first).
         Returns (logits (B, T, vocab), caches)."""
         c = self.cfg
         emb = nn.Embed(c.vocab_size, c.hidden, name="embed_tokens")
@@ -285,11 +309,15 @@ class LlavaJax(nn.Module):
         # Vision params materialize at init (init always passes an
         # image); text-only apply calls (decode steps) skip the tower --
         # flax.apply ignores unused parameter subtrees.
-        if pixel_values is not None:
-            feats = ClipVisionTower(c, name="vision_tower")(pixel_values)
-            h = nn.Dense(c.hidden, name="mm_linear_1")(feats)
-            h = jax.nn.gelu(h, approximate=False)
-            feats = nn.Dense(c.hidden, name="mm_linear_2")(h)
+        if pixel_values is not None or image_features is not None:
+            if image_features is None:
+                feats = ClipVisionTower(c, name="vision_tower")(
+                    pixel_values)
+                h = nn.Dense(c.hidden, name="mm_linear_1")(feats)
+                h = jax.nn.gelu(h, approximate=False)
+                feats = nn.Dense(c.hidden, name="mm_linear_2")(h)
+            else:
+                feats = image_features
             flat = feats.reshape(-1, c.hidden)
             is_img = (input_ids == c.image_token_index)
             # k-th image token row <- k-th vision feature row
@@ -411,6 +439,8 @@ def convert_hf_llava_state_dict(sd: Dict[str, Any],
         }
     p["norm"] = {"weight": _t(sd[f"{lm}.norm.weight"])}
     p["lm_head"] = {"kernel": _t(sd["lm_head.weight"]).T}
+    if "image_newline" in sd:     # LLaVA-NeXT per-row newline embedding
+        p["image_newline"] = _t(sd["image_newline"])
     return {"params": p}
 
 
@@ -429,7 +459,7 @@ def attach_lora(model: "LlavaJax", variables: Dict, rng) -> Dict:
 
 
 def greedy_generate_llava(model: LlavaJax, variables, input_ids,
-                          pixel_values=None,
+                          pixel_values=None, image_features=None,
                           max_new_tokens: int = 10) -> jnp.ndarray:
     """Greedy decode with a prefill + single-token KV-cache loop."""
     c = model.cfg
@@ -443,6 +473,7 @@ def greedy_generate_llava(model: LlavaJax, variables, input_ids,
     mask = jnp.tril(jnp.ones((t, total), bool))[None, None]
     logits, caches = model.apply(variables, input_ids,
                                  pixel_values=pixel_values,
+                                 image_features=image_features,
                                  positions=positions, mask=mask,
                                  caches=caches)
     last = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)

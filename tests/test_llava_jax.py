@@ -210,3 +210,74 @@ def test_llava_lora_fine_tune(tiny_pair, tmp_path):
     path = str(tmp_path / "llava_adapter.npz")
     trainer.save_adapter(path)
     trainer.load_adapter(path)
+
+
+@pytest.fixture(scope="module")
+def tiny_next_pair():
+    from transformers import (LlavaNextConfig,
+                              LlavaNextForConditionalGeneration,
+                              CLIPVisionConfig, MistralConfig)
+    vis = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=28, patch_size=14)
+    txt = MistralConfig(hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, vocab_size=128,
+                        max_position_embeddings=512)
+    hf_cfg = LlavaNextConfig(
+        vision_config=vis, text_config=txt, image_token_index=100,
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+        image_grid_pinpoints=[[28, 56], [56, 28], [56, 56]])
+    torch.manual_seed(0)
+    hf = LlavaNextForConditionalGeneration(hf_cfg).eval()
+    from leafgrasp_tpu.vla.llava_jax import LlavaJax, config_from_hf, \
+        convert_hf_llava_state_dict
+    cfg = config_from_hf(hf_cfg)
+    model = LlavaJax(cfg)
+    variables = convert_hf_llava_state_dict(hf.state_dict(), cfg)
+    return hf, model, variables, cfg
+
+
+def test_llava_next_anyres_logits_parity(tiny_next_pair):
+    """Full v1.6 anyres path: tile features packed with unpadding +
+    newline must reproduce HF LlavaNext logits."""
+    from leafgrasp_tpu.vla.llava_next import llava_next_forward
+    hf, model, variables, cfg = tiny_next_pair
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(1, 5, 3, 28, 28)).astype(np.float32)
+    image_sizes = [[40, 50]]
+    with torch.no_grad():
+        feats = hf.model.get_image_features(
+            pixel_values=torch.tensor(px),
+            image_sizes=torch.tensor(image_sizes),
+            vision_feature_layer=-2,
+            vision_feature_select_strategy="default")
+    n = feats[0].shape[0]
+    ids = np.array([[1, 5] + [100] * n + [7, 9]], np.int32)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                 pixel_values=torch.tensor(px),
+                 image_sizes=torch.tensor(image_sizes)).logits.numpy()
+    tiles = px[0].transpose(0, 2, 3, 1)
+    (ours, _), n2 = llava_next_forward(model, variables, ids, tiles,
+                                       (40, 50),
+                                       cfg.image_grid_pinpoints)
+    assert n2 == n
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_anyres_preprocess_and_generate(tiny_next_pair):
+    from leafgrasp_tpu.vla.llava_next import (preprocess_anyres,
+                                              llava_next_generate)
+    _, model, variables, cfg = tiny_next_pair
+    img = (np.random.default_rng(1).random((40, 50, 3)) * 255
+           ).astype(np.uint8)
+    tiles, hw = preprocess_anyres(img, cfg.image_grid_pinpoints, cfg)
+    assert hw == (40, 50)
+    assert tiles.shape[0] >= 2 and tiles.shape[1:] == (28, 28, 3)
+    ids = np.array([[1, 5] + [100] * 24 + [7]], np.int32)
+    gen = llava_next_generate(model, variables, ids, tiles, hw,
+                              cfg.image_grid_pinpoints, max_new_tokens=4)
+    assert np.asarray(gen).shape == (1, 4)
