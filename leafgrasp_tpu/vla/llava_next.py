@@ -90,11 +90,23 @@ def pack_anyres_features(tile_features: np.ndarray, image_hw,
     return np.concatenate([base, grid.reshape(-1, d)], axis=0)
 
 
+def _patch_output_size(oh: int, ow: int, th: int, tw: int):
+    """HF get_patch_output_size: the dominant axis fills the target, the
+    other CEILs (image_processing_llava_next.py)."""
+    import math
+    scale_w = tw / ow
+    scale_h = th / oh
+    if scale_w < scale_h:
+        return min(math.ceil(oh * scale_w), th), tw
+    return th, min(math.ceil(ow * scale_h), tw)
+
+
 def preprocess_anyres(image: np.ndarray, pinpoints, cfg) -> Tuple[
         np.ndarray, Tuple[int, int]]:
     """RGB image -> (num_tiles, tile, tile, 3) CLIP-normalized tiles
-    (tile 0 = base resize) + the original (h, w). Uses PIL bicubic like
-    the HF image processor."""
+    (tile 0 = base resize) + the original (h, w).  Byte-parity with the
+    HF LlavaNextImageProcessor (PIL bicubic, HF resize rounding, centred
+    zero padding before normalization -- verified in tests)."""
     from PIL import Image
     img = np.asarray(image)
     if img.dtype != np.uint8:
@@ -112,8 +124,7 @@ def preprocess_anyres(image: np.ndarray, pinpoints, cfg) -> Tuple[
     tiles = [norm(np.asarray(pil.resize((t, t), Image.BICUBIC)))]
 
     ph, pw = select_best_resolution((oh, ow), pinpoints)
-    scale = min(pw / ow, ph / oh)
-    nw, nh = int(ow * scale), int(oh * scale)
+    nh, nw = _patch_output_size(oh, ow, ph, pw)
     resized = np.asarray(pil.resize((nw, nh), Image.BICUBIC))
     canvas = np.zeros((ph, pw, 3), np.uint8)
     y0 = (ph - nh) // 2

@@ -281,3 +281,26 @@ def test_anyres_preprocess_and_generate(tiny_next_pair):
     gen = llava_next_generate(model, variables, ids, tiles, hw,
                               cfg.image_grid_pinpoints, max_new_tokens=4)
     assert np.asarray(gen).shape == (1, 4)
+
+
+def test_anyres_preprocess_byte_parity_with_hf_processor():
+    from transformers import LlavaNextImageProcessor
+    from PIL import Image
+    from leafgrasp_tpu.vla.llava_jax import LlavaJaxConfig
+    from leafgrasp_tpu.vla.llava_next import preprocess_anyres
+    proc = LlavaNextImageProcessor(
+        size={"shortest_edge": 28}, crop_size={"height": 28, "width": 28},
+        image_grid_pinpoints=[[28, 56], [56, 28], [56, 56]],
+        do_center_crop=True)
+    cfg = LlavaJaxConfig(image_size=28, patch_size=14,
+                         image_grid_pinpoints=((28, 56), (56, 28),
+                                               (56, 56)))
+    for seed, shape in ((1, (40, 50)), (2, (70, 30)), (3, (28, 28)),
+                        (4, (90, 90))):
+        img = (np.random.default_rng(seed).random(shape + (3,))
+               * 255).astype(np.uint8)
+        out = proc(images=Image.fromarray(img), return_tensors="np")
+        hf_tiles = out.pixel_values[0].transpose(0, 2, 3, 1)
+        tiles, _ = preprocess_anyres(img, cfg.image_grid_pinpoints, cfg)
+        assert tiles.shape == hf_tiles.shape
+        np.testing.assert_allclose(tiles, hf_tiles, atol=1e-6)
