@@ -141,6 +141,24 @@ class LlavaLoRATrainer:
         self.variables = {"params": params}
         return {"loss_history": history, "final_loss": history[-1]}
 
+    # ------------------------------------------------------------ eval --
+
+    def evaluate(self, samples: List[Dict]) -> Dict:
+        """Top-1 ranking accuracy + mean Spearman vs ground truth
+        (aws_vla_training.py:160-204) via the LLaVA scorer."""
+        from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
+        from leafgrasp_tpu.vla.trainer import spearman_correlation
+        scorer = LlavaJaxScorer(self.model, self.variables, self.tokenizer)
+        top1, spear = [], []
+        for s in samples:
+            scores = scorer.score(s["image"], s["candidates"],
+                                  "Select the best leaf for grasping")
+            gt = [c["geometric_score"] for c in s["candidates"]]
+            top1.append(int(np.argmax(scores)) == int(np.argmax(gt)))
+            spear.append(spearman_correlation(scores, gt))
+        return {"top1_accuracy": float(np.mean(top1)),
+                "spearman": float(np.mean(spear))}
+
     # -------------------------------------------------------- adapters --
 
     def save_adapter(self, path: str):

@@ -188,6 +188,9 @@ def test_llava_lora_fine_tune(tiny_pair, tmp_path):
         def encode(self, text):
             return [1] + [b % 90 + 2 for b in text.encode()][:60]
 
+        def decode(self, ids):
+            return "0.5"
+
     trainer = LlavaLoRATrainer(model, variables, Tok(),
                                learning_rate=1e-3, max_len=96)
     samples = make_synthetic_vla_dataset(2, seed=0, num_candidates=2,
@@ -210,6 +213,8 @@ def test_llava_lora_fine_tune(tiny_pair, tmp_path):
     path = str(tmp_path / "llava_adapter.npz")
     trainer.save_adapter(path)
     trainer.load_adapter(path)
+    metrics = trainer.evaluate(samples[:1])
+    assert set(metrics) == {"top1_accuracy", "spearman"}
 
 
 @pytest.fixture(scope="module")
