@@ -43,7 +43,7 @@ def main():
         grasp=GraspScoringConfig(isolation_context="reference_self"))
     cfg_enh = DEFAULT_CONFIG
     mask, depth = make_leaf_scene(cfg.frame.height, cfg.frame.width,
-                                  num_leaves=6, seed=7)
+                                  num_leaves=6, seed=8)
     cx, cy, f = np.float32(707.87), np.float32(494.07), np.float32(1750.68)
 
     n_frames = 40
