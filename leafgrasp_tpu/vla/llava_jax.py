@@ -53,6 +53,7 @@ class LlavaJaxConfig:
     kv_heads: int = 8
     rope_theta: float = 1e6
     rms_eps: float = 1e-5
+    sliding_window: Optional[int] = None   # Mistral local attention
     # fusion
     image_token_index: int = 32000
     # anyres grid pinpoints ((h, w) pairs; None for single-tile v1.5)
@@ -87,6 +88,7 @@ def config_from_hf(hf_config) -> "LlavaJaxConfig":
         heads=t.num_attention_heads, kv_heads=t.num_key_value_heads,
         rope_theta=float(getattr(t, "rope_theta", 10000.0)),
         rms_eps=float(getattr(t, "rms_norm_eps", 1e-6)),
+        sliding_window=getattr(t, "sliding_window", None),
         image_token_index=hf_config.image_token_index,
         image_grid_pinpoints=tuple(
             tuple(p) for p in getattr(hf_config, "image_grid_pinpoints",
@@ -331,7 +333,13 @@ class LlavaJax(nn.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(t), (b, t))
         if mask is None:
-            mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+            mask = jnp.tril(jnp.ones((t, t), bool))
+            if c.sliding_window is not None:
+                # Mistral local attention: key within `window` of query
+                qi = jnp.arange(t)[:, None]
+                ki = jnp.arange(t)[None, :]
+                mask = mask & (qi - ki < c.sliding_window)
+            mask = mask[None, None]
 
         new_caches = []
         for i in range(c.layers):

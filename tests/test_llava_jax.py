@@ -309,3 +309,36 @@ def test_anyres_preprocess_byte_parity_with_hf_processor():
         tiles, _ = preprocess_anyres(img, cfg.image_grid_pinpoints, cfg)
         assert tiles.shape == hf_tiles.shape
         np.testing.assert_allclose(tiles, hf_tiles, atol=1e-6)
+
+
+def test_sliding_window_attention_parity():
+    """Mistral sliding-window (local) attention matches HF's
+    kv > q - window convention (tolerance reflects f32 accumulation
+    under sharp local attention)."""
+    from transformers import (LlavaConfig, LlavaForConditionalGeneration,
+                              CLIPVisionConfig, MistralConfig)
+    from leafgrasp_tpu.vla.llava_jax import (LlavaJax, config_from_hf,
+                                             convert_hf_llava_state_dict)
+    vis = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=28, patch_size=14)
+    txt = MistralConfig(hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, vocab_size=128,
+                        max_position_embeddings=128, sliding_window=3,
+                        attn_implementation="eager")
+    hf_cfg = LlavaConfig(vision_config=vis, text_config=txt,
+                         image_token_index=100, vision_feature_layer=-2,
+                         vision_feature_select_strategy="default")
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.sliding_window == 3
+    model = LlavaJax(cfg)
+    variables = convert_hf_llava_state_dict(hf.state_dict(), cfg)
+    ids = np.array([[1, 5, 7, 9, 11, 2, 8, 6]], np.int32)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids, dtype=torch.long)).logits
+    ours, _ = model.apply(variables, ids)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=5e-3,
+                               atol=3e-3)
