@@ -478,7 +478,12 @@ def greedy_generate_llava(model: LlavaJax, variables, input_ids,
                jnp.int32(0)) for _ in range(c.layers)]
 
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
-    mask = jnp.tril(jnp.ones((t, total), bool))[None, None]
+    mask = jnp.tril(jnp.ones((t, total), bool))
+    if c.sliding_window is not None:
+        qi = jnp.arange(t)[:, None]
+        ki = jnp.arange(total)[None, :]
+        mask = mask & (qi - ki < c.sliding_window)
+    mask = mask[None, None]
     logits, caches = model.apply(variables, input_ids,
                                  pixel_values=pixel_values,
                                  image_features=image_features,
@@ -491,7 +496,10 @@ def greedy_generate_llava(model: LlavaJax, variables, input_ids,
         pos = t + i
         positions = jnp.full((b, 1), pos, jnp.int32)
         key_idx = jnp.arange(total)
-        mask = key_idx[None, None, None, :] <= pos
+        mask = key_idx <= pos
+        if c.sliding_window is not None:
+            mask = mask & (pos - key_idx < c.sliding_window)
+        mask = mask[None, None, None, :]
         logits, caches = model.apply(variables, tok[:, None],
                                      positions=positions, mask=mask,
                                      caches=caches)
