@@ -270,3 +270,25 @@ def test_compact_instance_ids():
         assert ((out == slot) == (mask == orig)).all()
     # small id 7 dropped to background
     assert (out[mask == 7] == 0).all()
+
+
+def test_grasp_service_threaded_loop():
+    import time
+    mask, depth = _scene()
+    results = []
+    svc = GraspService(CFG, on_result=results.append, min_interval_s=0.0)
+    t = threading.Thread(target=svc.run, kwargs=dict(poll_interval_s=0.001))
+    t.start()
+    try:
+        for i in range(3):
+            svc.on_mask(mask, stamp_us=i)
+            svc.on_depth(depth, stamp_us=i)
+            deadline = time.time() + 30
+            while len(results) <= i and time.time() < deadline:
+                time.sleep(0.01)
+    finally:
+        svc.stop()
+        t.join(timeout=10)
+    assert not t.is_alive()
+    assert len(results) >= 3
+    assert all(r["found"] for r in results[:3])

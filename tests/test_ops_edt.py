@@ -111,3 +111,20 @@ def test_banded_edt_sparse_and_empty(rng):
         s[pts[:, 0], pts[:, 1]] = True
         np.testing.assert_array_equal(np.asarray(squared_edt(s)),
                                       np.asarray(squared_edt_full(s)))
+
+
+def test_edt_degenerate_shapes():
+    from leafgrasp_tpu.ops.edt import squared_edt_full
+    # width smaller than the chunk
+    seeds = np.zeros((9, 40), bool)
+    seeds[2, 5] = True
+    np.testing.assert_array_equal(np.asarray(squared_edt(seeds)),
+                                  np.asarray(squared_edt_full(seeds)))
+    # all-True mask
+    full = np.ones((16, 32), bool)
+    assert np.asarray(squared_edt(full)).max() == 0
+    # single row / single-ish column geometry
+    row = np.zeros((1, 64), bool)
+    row[0, 10] = True
+    d2 = np.asarray(squared_edt(row))
+    assert d2[0, 10] == 0 and d2[0, 13] == 9
