@@ -92,6 +92,9 @@ class GraspScoringConfig:
     isolation_wide_weight: float = 0.3
     # "union": interference = other leaves of the full instance map (the
     #   intended behavior; 2 EDT fields per frame).
+    # "union_half": same interference sets, distance fields computed at
+    #   half resolution and upsampled (<~1.5 px field error feeding only
+    #   the CNN patch channels; ~8x cheaper EDTs).
     # "reference_self": replicate the reference PRODUCTION path, which
     #   passes only the single-leaf mask so interference is empty and
     #   cv2.distanceTransform of the all-ones complement returns FLT_MAX

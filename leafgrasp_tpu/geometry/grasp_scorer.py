@@ -216,9 +216,8 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     # isolation_context/skip_isolation can drop the two interference
     # fields entirely (isolation feeds only the CNN patch channels).
     from leafgrasp_tpu.ops.edt import edt_batch
-    need_iso_edt = (not skip_isolation
-                    and cfg.isolation_context == "union")
-    if need_iso_edt:
+    iso_mode = "skip" if skip_isolation else cfg.isolation_context
+    if iso_mode == "union":
         other = jnp.asarray(all_mask, bool) & ~m
         seeds = jnp.stack([
             ~m, m,
@@ -226,6 +225,25 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
             dilate(other, elliptical_kernel(cfg.isolation_wide_kernel)),
         ])
         din, dout, dclose, dwide = edt_batch(seeds)
+    elif iso_mode == "union_half":
+        din, dout = edt_batch(jnp.stack([~m, m]))
+        other = jnp.asarray(all_mask, bool) & ~m
+        h, w = m.shape
+
+        def half_edt(inter):
+            # 2x2 any-pool -> half-res EDT -> nearest upsample, px scale x2
+            hh, wh = h // 2, w // 2
+            pooled = inter[:hh * 2, :wh * 2].reshape(hh, 2, wh, 2).any(
+                axis=(1, 3))
+            d = edt_batch(pooled[None])[0] * 2.0
+            up = jnp.repeat(jnp.repeat(d, 2, axis=0), 2, axis=1)
+            return jnp.pad(up, ((0, h - hh * 2), (0, w - wh * 2)),
+                           mode="edge")
+
+        dclose = half_edt(dilate(other, elliptical_kernel(
+            cfg.isolation_close_kernel)))
+        dwide = half_edt(dilate(other, elliptical_kernel(
+            cfg.isolation_wide_kernel)))
     else:
         din, dout = edt_batch(jnp.stack([~m, m]))
         # reference_self: empty interference -> cv2 FLT_MAX field ->

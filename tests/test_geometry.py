@@ -240,3 +240,27 @@ def test_simple_scorer_v2_legacy():
     sel2 = select_leaf_simple(mask, depth + 1.0, max_leaves=8,
                               min_area=1500, depth_threshold=0.7)
     assert not bool(sel2.found)
+
+
+def test_union_half_isolation_close_to_full():
+    from leafgrasp_tpu.config import GraspScoringConfig
+    mask, depth = _scene(3)
+    leaf = mask == 4
+    full = compute_grasp_scores(leaf, mask > 0, depth, CX, CY, F,
+                                cfg=GraspScoringConfig())
+    half = compute_grasp_scores(
+        leaf, mask > 0, depth, CX, CY, F,
+        cfg=GraspScoringConfig(isolation_context="union_half"))
+    a = np.asarray(full.isolation_map)
+    b = np.asarray(half.isolation_map)
+    sel = np.asarray(leaf)
+    # same field up to the half-res quantization (few-px distance error
+    # normalized by a few-hundred-px max)
+    corr = np.corrcoef(a[sel], b[sel])[0, 1]
+    assert corr > 0.99
+    # everything outside isolation is untouched
+    np.testing.assert_array_equal(np.asarray(full.valid_region),
+                                  np.asarray(half.valid_region))
+    np.testing.assert_allclose(np.asarray(full.traditional_score),
+                               np.asarray(half.traditional_score),
+                               rtol=1e-6, atol=1e-7)
