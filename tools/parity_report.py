@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
 
-SCENES = [(s, 4) for s in (0, 1, 3, 5, 7, 11, 13)] + \
-    [(s, 6) for s in (2, 4, 8)]
+SCENES = [(s, 4) for s in (0, 1, 3, 5, 7, 11, 13, 17, 19, 23)] + \
+    [(s, 6) for s in (2, 4, 8, 10, 14, 16, 20, 22)] + \
+    [(s, 8) for s in (6, 9, 15, 18)] + \
+    [(s, 3) for s in (25, 26, 27, 28)]
 H, W = 270, 360
 CX, CY, F = 180.0, 135.0, 800.0
 AREA = 1500
