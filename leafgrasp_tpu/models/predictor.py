@@ -7,14 +7,14 @@ returns a scalar quality score. Batched by construction.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from leafgrasp_tpu.config import ModelConfig
-from leafgrasp_tpu.models.grasp_cnn import GraspPointCNN, init_grasp_cnn
+from leafgrasp_tpu.models.grasp_cnn import init_grasp_cnn
 
 __all__ = ["GraspQualityPredictor"]
 

@@ -18,8 +18,6 @@ Everything is expressed with ``shard_map`` so XLA emits the collectives.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -27,8 +25,6 @@ try:
     from jax import shard_map
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
-
-from leafgrasp_tpu.ops.edt import squared_edt
 
 __all__ = ["sharded_nearest_seed_rows", "sharded_squared_edt",
            "sharded_edt", "sharded_shift_rows"]

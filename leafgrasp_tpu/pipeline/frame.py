@@ -11,7 +11,7 @@ into a single XLA program.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -19,8 +19,7 @@ import jax.numpy as jnp
 from leafgrasp_tpu.config import PipelineConfig, DEFAULT_CONFIG
 from leafgrasp_tpu.geometry.leaf_scorer import select_optimal_leaf, \
     LeafSelection
-from leafgrasp_tpu.geometry.grasp_scorer import compute_grasp_scores, \
-    GraspScores
+from leafgrasp_tpu.geometry.grasp_scorer import compute_grasp_scores
 from leafgrasp_tpu.geometry.patches import assemble_cnn_inputs
 from leafgrasp_tpu.geometry.lift3d import lift_to_3d, pre_grasp_point
 from leafgrasp_tpu.models.grasp_cnn import GraspPointCNN, \

@@ -10,9 +10,8 @@ collector dataset for resumable collection (data_collector.py:43-81).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax
@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from leafgrasp_tpu.geometry.grasp_scorer import GraspScores
 from leafgrasp_tpu.geometry.patches import extract_patches
 from leafgrasp_tpu.ops.edt import edt
-from leafgrasp_tpu.ops.morphology import (elliptical_kernel, erode, dilate,
+from leafgrasp_tpu.ops.morphology import (elliptical_kernel, erode,
                                           morphological_boundary)
 from leafgrasp_tpu.ops.conv import reflect_conv2d
 

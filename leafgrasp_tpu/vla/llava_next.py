@@ -12,7 +12,7 @@ size); the tower/projector and the decoder remain jitted JAX.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp

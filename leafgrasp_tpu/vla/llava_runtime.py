@@ -10,7 +10,7 @@ JAX-native replacement for the reference's transformers pipeline
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -9,15 +9,14 @@ same npz format as VLATrainer.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
-from leafgrasp_tpu.vla.llava_jax import LlavaJax, LlavaJaxConfig
+from leafgrasp_tpu.vla.llava_jax import LlavaJax
 from leafgrasp_tpu.vla.llava_runtime import preprocess_image
 from leafgrasp_tpu.vla.lora import lora_mask, extract_lora_params, \
     merge_lora_params

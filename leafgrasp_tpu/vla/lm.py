@@ -16,8 +16,6 @@ a mesh; at 7B-config this is the deployment path for real LLaVA weights.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,7 @@ so the adapter starts as the identity delta.  LoRA parameters live under
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 __all__ = ["LoRADense", "lora_mask", "merge_lora_params",

@@ -19,7 +19,7 @@ Scores are min-max normalized across candidates, and
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
@@ -103,8 +103,8 @@ class TinyVLAScorer:
 
     def __init__(self, model=None, variables=None, cfg=None, seed: int = 0):
         import jax
-        from leafgrasp_tpu.vla.lm import (TinyVLA, VLAModelConfig,
-                                          ByteTokenizer, init_vla)
+        from leafgrasp_tpu.vla.lm import (VLAModelConfig, ByteTokenizer,
+                                          init_vla)
         self.tokenizer = ByteTokenizer()
         if model is None:
             cfg = cfg or VLAModelConfig()

@@ -18,14 +18,14 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
-from leafgrasp_tpu.vla.lm import (TinyVLA, VLAModelConfig, ByteTokenizer,
+from leafgrasp_tpu.vla.lm import (VLAModelConfig, ByteTokenizer,
                                   init_vla)
 from leafgrasp_tpu.vla.lora import lora_mask, extract_lora_params, \
     merge_lora_params
