@@ -58,6 +58,9 @@ class LlavaJaxConfig:
     image_token_index: int = 32000
     # anyres grid pinpoints ((h, w) pairs; None for single-tile v1.5)
     image_grid_pinpoints: Optional[tuple] = None
+    # compute dtype ("float32" | "bfloat16"); params stay as loaded,
+    # activations/matmuls run in this dtype (norms/softmax internally f32)
+    dtype: str = "float32"
     # LoRA on the language model's q/k/v/o/gate/up/down projections
     # (the reference's adapter target set, vla_trainer.py:36-41)
     lora_rank: int = 0
@@ -67,6 +70,10 @@ class LlavaJaxConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden // self.heads
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
 
     @property
     def num_patches(self) -> int:
@@ -109,9 +116,10 @@ class _ClipAttention(nn.Module):
     def __call__(self, x):
         c = self.cfg
         hd = c.vis_hidden // c.vis_heads
-        q = nn.Dense(c.vis_hidden, name="q_proj")(x)
-        k = nn.Dense(c.vis_hidden, name="k_proj")(x)
-        v = nn.Dense(c.vis_hidden, name="v_proj")(x)
+        dt = c.jnp_dtype
+        q = nn.Dense(c.vis_hidden, dtype=dt, name="q_proj")(x)
+        k = nn.Dense(c.vis_hidden, dtype=dt, name="k_proj")(x)
+        v = nn.Dense(c.vis_hidden, dtype=dt, name="v_proj")(x)
         b, t = x.shape[:2]
 
         def split(a):
@@ -122,7 +130,7 @@ class _ClipAttention(nn.Module):
                             preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bshd->bthd", probs, split(v))
-        return nn.Dense(c.vis_hidden, name="out_proj")(
+        return nn.Dense(c.vis_hidden, dtype=dt, name="out_proj")(
             out.reshape(b, t, c.vis_hidden))
 
 
@@ -132,12 +140,13 @@ class _ClipLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
+        dt = c.jnp_dtype
+        h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="layer_norm1")(x)
         x = x + _ClipAttention(c, name="self_attn")(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
-        h = nn.Dense(c.vis_intermediate, name="fc1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="layer_norm2")(x)
+        h = nn.Dense(c.vis_intermediate, dtype=dt, name="fc1")(h)
         h = _quick_gelu(h)
-        x = x + nn.Dense(c.vis_hidden, name="fc2")(h)
+        x = x + nn.Dense(c.vis_hidden, dtype=dt, name="fc2")(h)
         return x
 
 
@@ -153,8 +162,8 @@ class ClipVisionTower(nn.Module):
         patches = nn.Conv(c.vis_hidden,
                           (c.patch_size, c.patch_size),
                           strides=(c.patch_size, c.patch_size),
-                          use_bias=False, name="patch_embedding")(
-            pixel_values)
+                          use_bias=False, dtype=c.jnp_dtype,
+                          name="patch_embedding")(pixel_values)
         patches = patches.reshape(b, -1, c.vis_hidden)
         cls = self.param("class_embedding", nn.initializers.normal(0.02),
                          (c.vis_hidden,))
@@ -164,8 +173,9 @@ class ClipVisionTower(nn.Module):
         pos = self.param("position_embedding",
                          nn.initializers.normal(0.02),
                          (n_pos, c.vis_hidden))
-        x = x + pos[None]
-        x = nn.LayerNorm(epsilon=1e-5, name="pre_layrnorm")(x)
+        x = (x + pos[None]).astype(c.jnp_dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=c.jnp_dtype,
+                         name="pre_layrnorm")(x)
 
         # HF collects hidden_states = [emb, after layer 0, ...] and takes
         # [vision_feature_layer]; all layers still run so every layer's
@@ -184,14 +194,14 @@ class ClipVisionTower(nn.Module):
 
 # -------------------------------------------------------------- Mistral --
 
-def _proj(features: int, name: str, lora: dict):
+def _proj(features: int, name: str, lora: dict, dtype=jnp.float32):
     """Language-model projection: plain Dense, or LoRADense (base kernel
     nested under '<name>/base') when a LoRA rank is configured."""
     if lora["rank"] > 0:
         return LoRADense(features, rank=lora["rank"],
                          alpha=lora["alpha"], dropout=lora["dropout"],
                          use_bias=False, name=name)
-    return nn.Dense(features, use_bias=False, name=name)
+    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
 
 
 class _RMSNorm(nn.Module):
@@ -228,9 +238,9 @@ class _MistralAttention(nn.Module):
         b, t = x.shape[:2]
         lora = dict(rank=c.lora_rank, alpha=c.lora_alpha,
                     dropout=c.lora_dropout)
-        q = _proj(c.heads * hd, "q_proj", lora)(x)
-        k = _proj(c.kv_heads * hd, "k_proj", lora)(x)
-        v = _proj(c.kv_heads * hd, "v_proj", lora)(x)
+        q = _proj(c.heads * hd, "q_proj", lora, c.jnp_dtype)(x)
+        k = _proj(c.kv_heads * hd, "k_proj", lora, c.jnp_dtype)(x)
+        v = _proj(c.kv_heads * hd, "v_proj", lora, c.jnp_dtype)(x)
         q = _rope_hf(q.reshape(b, t, c.heads, hd), positions, c.rope_theta)
         k = _rope_hf(k.reshape(b, t, c.kv_heads, hd), positions,
                      c.rope_theta)
@@ -251,7 +261,7 @@ class _MistralAttention(nn.Module):
         scores = jnp.where(mask, scores, jnp.float32(-1e30))
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bshd->bthd", probs, vr)
-        out = _proj(c.hidden, "o_proj", lora)(
+        out = _proj(c.hidden, "o_proj", lora, c.jnp_dtype)(
             out.reshape(b, t, c.heads * hd))
         return out, cache
 
@@ -269,9 +279,10 @@ class _MistralLayer(nn.Module):
         h = _RMSNorm(c.rms_eps, name="post_attention_layernorm")(x)
         lora = dict(rank=c.lora_rank, alpha=c.lora_alpha,
                     dropout=c.lora_dropout)
-        gate = _proj(c.intermediate, "gate_proj", lora)(h)
-        up = _proj(c.intermediate, "up_proj", lora)(h)
-        x = x + _proj(c.hidden, "down_proj", lora)(nn.silu(gate) * up)
+        gate = _proj(c.intermediate, "gate_proj", lora, c.jnp_dtype)(h)
+        up = _proj(c.intermediate, "up_proj", lora, c.jnp_dtype)(h)
+        x = x + _proj(c.hidden, "down_proj", lora,
+                      c.jnp_dtype)(nn.silu(gate) * up)
         return x, cache
 
 
@@ -286,10 +297,11 @@ class _VisionProject(nn.Module):
     @nn.compact
     def __call__(self, pixel_values):
         c = self.cfg
+        dt = c.jnp_dtype
         feats = ClipVisionTower(c, name="vision_tower")(pixel_values)
-        h = nn.Dense(c.hidden, name="mm_linear_1")(feats)
+        h = nn.Dense(c.hidden, dtype=dt, name="mm_linear_1")(feats)
         h = jax.nn.gelu(h, approximate=False)
-        return nn.Dense(c.hidden, name="mm_linear_2")(h)
+        return nn.Dense(c.hidden, dtype=dt, name="mm_linear_2")(h)
 
 
 class LlavaJax(nn.Module):
@@ -305,7 +317,8 @@ class LlavaJax(nn.Module):
         anyres path packs tile features host-side first).
         Returns (logits (B, T, vocab), caches)."""
         c = self.cfg
-        emb = nn.Embed(c.vocab_size, c.hidden, name="embed_tokens")
+        emb = nn.Embed(c.vocab_size, c.hidden, dtype=c.jnp_dtype,
+                       name="embed_tokens")
         x = emb(input_ids)
 
         # Vision params materialize at init (init always passes an
@@ -315,9 +328,11 @@ class LlavaJax(nn.Module):
             if image_features is None:
                 feats = ClipVisionTower(c, name="vision_tower")(
                     pixel_values)
-                h = nn.Dense(c.hidden, name="mm_linear_1")(feats)
+                h = nn.Dense(c.hidden, dtype=c.jnp_dtype,
+                             name="mm_linear_1")(feats)
                 h = jax.nn.gelu(h, approximate=False)
-                feats = nn.Dense(c.hidden, name="mm_linear_2")(h)
+                feats = nn.Dense(c.hidden, dtype=c.jnp_dtype,
+                                 name="mm_linear_2")(h)
             else:
                 feats = image_features
             flat = feats.reshape(-1, c.hidden)

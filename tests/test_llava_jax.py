@@ -342,3 +342,22 @@ def test_sliding_window_attention_parity():
     ours, _ = model.apply(variables, ids)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=5e-3,
                                atol=3e-3)
+
+
+def test_bf16_compute_dtype(tiny_pair):
+    """bf16 compute path runs and agrees with f32 on the greedy argmax
+    (serving dtype for the 7B on a 16 GB chip)."""
+    import dataclasses
+    from leafgrasp_tpu.vla.llava_jax import LlavaJax
+    hf, model, variables, cfg = tiny_pair
+    bcfg = dataclasses.replace(cfg, dtype="bfloat16")
+    bmodel = LlavaJax(bcfg)
+    ids = np.array([[1, 5, 100, 100, 100, 100, 7, 9]], np.int32)
+    px = np.random.default_rng(0).normal(
+        size=(1, 28, 28, 3)).astype(np.float32)
+    a, _ = model.apply(variables, ids, pixel_values=px)
+    b, _ = bmodel.apply(variables, ids, pixel_values=px)
+    assert np.asarray(b).dtype == np.float32   # logits upcast
+    agree = (np.argmax(np.asarray(a), -1)
+             == np.argmax(np.asarray(b), -1)).mean()
+    assert agree >= 0.8
