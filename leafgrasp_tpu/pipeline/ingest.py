@@ -202,8 +202,9 @@ class GraspService:
             if self.publish:
                 self.publish(msg)
         out = dict(result=res, message=msg, found=found,
-                   vla=vla_choice, mask_stamp=mask_stamp,
-                   depth_stamp=depth_stamp, frame_index=self._frames)
+                   degenerate=bool(res.degenerate), vla=vla_choice,
+                   mask_stamp=mask_stamp, depth_stamp=depth_stamp,
+                   frame_index=self._frames)
         self._frames += 1
         if self.on_result:
             self.on_result(out)

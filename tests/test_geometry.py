@@ -264,3 +264,35 @@ def test_union_half_isolation_close_to_full():
     np.testing.assert_allclose(np.asarray(full.traditional_score),
                                np.asarray(half.traditional_score),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed,n,h,w", [
+    (31, 5, 192, 256), (33, 7, 320, 280), (35, 2, 256, 384),
+])
+def test_fuzz_pipeline_vs_oracle(seed, n, h, w):
+    """Randomized shapes/leaf-counts: leaf choice and candidate order
+    must match the loop oracle (exact-EDT mode)."""
+    from leafgrasp_tpu.config import PipelineConfig, FrameConfig, \
+        LeafSelectionConfig
+    from leafgrasp_tpu.pipeline.frame import make_frame_fn
+    area = max(300, h * w // 60)
+    cfg = PipelineConfig(frame=FrameConfig(height=h, width=w,
+                                           max_leaves=8),
+                         leaf=LeafSelectionConfig(min_leaf_area=area))
+    mask, depth = make_leaf_scene(height=h, width=w, num_leaves=n,
+                                  seed=seed, margin=30)
+    fn = make_frame_fn(cfg, with_cnn=False)
+    res = fn(mask, depth, CX, CY, F)
+    expected, _ = ref.select_leaf_reference(mask, depth, CX, CY, F,
+                                            min_area=area, mode="exact")
+    if expected is None:
+        assert not bool(res.found)
+        return
+    assert int(res.leaf_id) == expected
+    if not bool(res.degenerate):
+        leaf = mask == expected
+        oracle = ref.grasp_scores_reference(leaf, mask > 0, depth, CX,
+                                            CY, F, mode="exact")
+        cands = _ref_candidates(oracle["traditional_score"],
+                                oracle["valid_region"], 20, 10)
+        assert (int(res.grasp_uv[0]), int(res.grasp_uv[1])) == cands[0]
