@@ -32,8 +32,8 @@ _R = 8
 _C = 128
 
 # scalar vector layout
-_S_CX, _S_CY, _S_F, _S_SIN, _S_COS, _S_MAXSDF, _S_MAXCLOSE, _S_MAXWIDE, \
-    _S_H, _S_W, _S_BOTTOM = range(11)
+(_S_CX, _S_CY, _S_F, _S_SIN, _S_COS, _S_MAXSDF, _S_MAXCLOSE, _S_MAXWIDE,
+ _S_H, _S_W) = range(10)
 _NS = 16  # padded scalar count
 
 

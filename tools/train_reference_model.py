@@ -45,7 +45,7 @@ def main():
     data_dir = os.path.join(out_dir, "training_data")
 
     coll = GraspDataCollector(data_dir, resume=True, save_every=1000)
-    target_frames = 125
+    target_frames = 170
     have = coll.stats["positive_samples"]
     if have < target_frames:
         frames = (make_leaf_scene(270, 360, num_leaves=4 + s % 3,
