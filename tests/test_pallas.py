@@ -105,3 +105,50 @@ def test_model_pallas_attention_flag_same_params():
     np.testing.assert_allclose(np.asarray(out_plain),
                                np.asarray(out_pallas), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_pallas_segment_histogram_matches_numpy(rng):
+    from leafgrasp_tpu.ops.pallas_median import segment_histogram, NBINS
+    h, w, num = 40, 70, 5
+    depth = rng.random((h, w)).astype(np.float32)
+    ids = rng.integers(0, num, (h, w)).astype(np.int32)
+    lo = np.zeros(num, np.float32)
+    inv_w = np.full(num, NBINS / 1.0, np.float32)
+    hist = np.asarray(segment_histogram(depth, ids, lo, inv_w, num,
+                                        interpret=True))
+    for n in range(num):
+        vals = depth[ids == n]
+        bins = np.clip((vals * NBINS).astype(np.int32), 0, NBINS - 1)
+        expected = np.bincount(bins, minlength=NBINS)
+        np.testing.assert_array_equal(hist[n], expected)
+
+
+def test_pallas_median_matches_numpy(rng):
+    from leafgrasp_tpu.ops.pallas_median import masked_median_pallas
+    h, w, num = 64, 96, 6
+    depth = (rng.random((h, w)) * 0.5 + 0.3).astype(np.float32)
+    ids = rng.integers(0, num, (h, w)).astype(np.int32)
+    counts = np.bincount(ids.ravel(), minlength=num)
+    med = np.asarray(masked_median_pallas(depth, ids, counts, num,
+                                          levels=2, interpret=True))
+    span = depth.max() - depth.min()
+    for n in range(num):
+        expected = np.median(depth[ids == n])
+        assert abs(med[n] - expected) <= span / (256 ** 2), \
+            (n, med[n], expected)
+
+
+def test_pallas_median_on_scene(small_scene):
+    from leafgrasp_tpu.ops.pallas_median import masked_median_pallas
+    mask, depth = small_scene
+    num = 10
+    ids = np.clip(mask, 0, num - 1).astype(np.int32)
+    counts = np.bincount(ids.ravel(), minlength=num)
+    med = np.asarray(masked_median_pallas(depth, ids, counts, num,
+                                          levels=2, interpret=True))
+    span = depth.max() - depth.min()
+    for n in range(num):
+        sel = ids == n
+        if not sel.any():
+            continue
+        assert abs(med[n] - np.median(depth[sel])) <= span / 256 ** 2
