@@ -47,18 +47,20 @@ class LeafSelection(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "frame"))
+                   static_argnames=("cfg", "frame", "use_pallas"))
 def select_optimal_leaf(mask_ids: jnp.ndarray, depth: jnp.ndarray,
                         camera_cx, camera_cy, f_norm,
                         cfg: LeafSelectionConfig = LeafSelectionConfig(),
-                        frame: FrameConfig = FrameConfig()) -> LeafSelection:
+                        frame: FrameConfig = FrameConfig(),
+                        use_pallas: bool = False) -> LeafSelection:
     """Select the optimal leaf id from an instance map + depth frame."""
     h, w = mask_ids.shape
     max_leaves = frame.max_leaves
     depth = jnp.asarray(depth, jnp.float32)
 
     stats = leaf_stats(mask_ids, depth, max_leaves,
-                       camera_cx, camera_cy, f_norm)
+                       camera_cx, camera_cy, f_norm,
+                       use_pallas=use_pallas)
     present = stats.present
 
     # --- tall-leaf split (leaf_scorer.py:41-64): median-depth of each leaf

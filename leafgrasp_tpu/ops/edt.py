@@ -46,7 +46,9 @@ def nearest_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """
     seeds = jnp.asarray(seeds, dtype=bool)
     n = seeds.shape[axis]
-    big = jnp.int32(sum(seeds.shape))  # > any achievable pixel distance
+    # > any achievable pixel distance; spatial dims only, so batched
+    # (C, H, W) calls produce the same seedless-line sentinel as 2D ones
+    big = jnp.int32(sum(seeds.shape[-2:]))
 
     idx_shape = [1] * seeds.ndim
     idx_shape[axis] = n

@@ -64,7 +64,8 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
     depth = jnp.asarray(depth, jnp.float32)
 
     sel = select_optimal_leaf(mask_ids, depth, camera_cx, camera_cy,
-                              f_norm, cfg=cfg.leaf, frame=cfg.frame)
+                              f_norm, cfg=cfg.leaf, frame=cfg.frame,
+                              use_pallas=use_pallas)
     leaf = mask_ids == sel.best_leaf_id
     all_mask = mask_ids > 0
 

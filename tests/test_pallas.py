@@ -138,6 +138,36 @@ def test_pallas_median_matches_numpy(rng):
             (n, med[n], expected)
 
 
+def test_leaf_stats_pallas_median_parity(small_scene):
+    """leaf_stats(use_pallas=True) must agree with the default path on
+    every statistic, and the downstream leaf choice must be identical --
+    guards the flag staying a behavioral no-op (or, if a Pallas median
+    is ever routed, that it lands within tolerance)."""
+    from leafgrasp_tpu.ops.components import leaf_stats
+    from leafgrasp_tpu.geometry.leaf_scorer import select_optimal_leaf
+    mask, depth = small_scene
+    a = leaf_stats(mask, depth, 8, CX, CY, F)
+    b = leaf_stats(mask, depth, 8, CX, CY, F, use_pallas=True)
+    span = float(np.asarray(depth).max() - np.asarray(depth).min())
+    present = np.asarray(a.present)
+    # empty slots carry arbitrary medians in both paths; every consumer
+    # masks by `present` (leaf_scorer.py tall split)
+    np.testing.assert_allclose(np.asarray(a.median_depth)[present],
+                               np.asarray(b.median_depth)[present],
+                               atol=span / 256 ** 2 + span * 2 ** -18)
+    for name in a._fields:
+        if name == "median_depth":
+            continue
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)),
+                                      err_msg=name)
+    sa = select_optimal_leaf(mask, depth, CX, CY, F)
+    sb = select_optimal_leaf(mask, depth, CX, CY, F, use_pallas=True)
+    assert int(sa.best_leaf_id) == int(sb.best_leaf_id)
+    np.testing.assert_array_equal(np.asarray(sa.is_tall),
+                                  np.asarray(sb.is_tall))
+
+
 def test_pallas_median_on_scene(small_scene):
     from leafgrasp_tpu.ops.pallas_median import masked_median_pallas
     mask, depth = small_scene
