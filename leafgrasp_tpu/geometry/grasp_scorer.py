@@ -57,17 +57,26 @@ class GraspScores(NamedTuple):
         return jnp.stack([getattr(self, name) for name in SCORE_CHANNELS])
 
 
-def _pixel_grids(h: int, w: int):
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+def _pixel_grids(h: int, w: int, row0=0):
+    """Pixel coordinate grids; ``row0`` offsets rows to FRAME coordinates
+    for row-sharded callers working on a local row block."""
+    ys = row0 + jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     return ys, xs
 
 
 def sdf_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
                   cfg: GraspScoringConfig, dist_inside=None,
-                  dist_outside=None) -> jnp.ndarray:
+                  dist_outside=None, row0=0, norm_max=None,
+                  orientation=None) -> jnp.ndarray:
     """Ridge-SDF + camera-alignment score
-    (grasp_point_selector.py:526-567)."""
+    (grasp_point_selector.py:526-567).
+
+    row0/norm_max/orientation: row-sharded callers pass the shard's
+    frame-row offset, the globally-reduced max|sdf|, and a
+    globally-reduced Orientation (defaults reproduce the single-device
+    computation).
+    """
     m = jnp.asarray(leaf_mask, bool)
     h, w = m.shape
     if dist_inside is None:
@@ -79,16 +88,18 @@ def sdf_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
     opt = cfg.optimal_edge_distance
     interior_penalty = jnp.exp(-((dist_inside - opt) ** 2) / (2.0 * opt * opt))
 
-    sdf = sdf / jnp.maximum(jnp.max(jnp.abs(sdf)), 1e-30)
+    if norm_max is None:
+        norm_max = jnp.max(jnp.abs(sdf))
+    sdf = sdf / jnp.maximum(norm_max, 1e-30)
 
-    ys, xs = _pixel_grids(h, w)
+    ys, xs = _pixel_grids(h, w, row0)
     vx = xs - camera_cx
     vy = ys - camera_cy
     norm = jnp.sqrt(vx * vx + vy * vy)
     norm = jnp.where(norm == 0, 1.0, norm)
     vx, vy = vx / norm, vy / norm
 
-    o = mask_orientation(m)
+    o = mask_orientation(m) if orientation is None else orientation
     # alignment = |cross((vx,vy), (cos a, sin a))| = |vx sin a - vy cos a|
     alignment = jnp.abs(vx * jnp.sin(o.angle) - vy * jnp.cos(o.angle))
     alignment = jnp.where(o.valid, alignment, jnp.ones_like(alignment))
@@ -100,12 +111,12 @@ def sdf_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
 
 
 def approach_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
-                       f_norm) -> jnp.ndarray:
+                       f_norm, row0=0) -> jnp.ndarray:
     """|dot(unit ray, z)| = f / ||(x-cx, y-cy, f)||
     (grasp_point_selector.py:569-593)."""
     m = jnp.asarray(leaf_mask, jnp.float32)
     h, w = m.shape
-    ys, xs = _pixel_grids(h, w)
+    ys, xs = _pixel_grids(h, w, row0)
     norm = jnp.sqrt((xs - camera_cx) ** 2 + (ys - camera_cy) ** 2
                     + f_norm * f_norm)
     return (f_norm / norm) * m
@@ -113,11 +124,14 @@ def approach_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
 
 def isolation_score_map(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
                         cfg: GraspScoringConfig, dist_close=None,
-                        dist_wide=None) -> jnp.ndarray:
+                        dist_wide=None, row0=0,
+                        frame_height: int | None = None,
+                        close_max=None, wide_max=None) -> jnp.ndarray:
     """Distance-from-interference blend x top-down height preference
     (grasp_point_selector.py:595-633)."""
     m = jnp.asarray(leaf_mask, bool)
     h, w = m.shape
+    fh = h if frame_height is None else frame_height
     other = jnp.asarray(all_mask, bool) & ~m
 
     if dist_close is None:
@@ -128,30 +142,34 @@ def isolation_score_map(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
         dist_wide = edt(dilate(other,
                                elliptical_kernel(
                                    cfg.isolation_wide_kernel)))
+    if close_max is None:
+        close_max = jnp.max(dist_close)
+    if wide_max is None:
+        wide_max = jnp.max(dist_wide)
 
-    score = (cfg.isolation_close_weight
-             * dist_close / (jnp.max(dist_close) + 1e-6)
-             + cfg.isolation_wide_weight
-             * dist_wide / (jnp.max(dist_wide) + 1e-6))
+    score = (cfg.isolation_close_weight * dist_close / (close_max + 1e-6)
+             + cfg.isolation_wide_weight * dist_wide / (wide_max + 1e-6))
 
     # np.linspace(1.0, 0.2, h) row preference (grasp_point_selector.py:623)
-    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    rows = row0 + jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     pref = cfg.height_pref_top + (cfg.height_pref_bottom
-                                  - cfg.height_pref_top) * rows / (h - 1)
+                                  - cfg.height_pref_top) * rows / (fh - 1)
     return score * pref * m
 
 
 def accessibility_score_map(leaf_mask: jnp.ndarray, camera_cx, camera_cy,
-                            cfg: GraspScoringConfig) -> jnp.ndarray:
+                            cfg: GraspScoringConfig, row0=0,
+                            frame_height: int | None = None) -> jnp.ndarray:
     """0.7 * (1 - r/max) + 0.3 * cos(theta), masked
     (grasp_point_selector.py:502-524)."""
     m = jnp.asarray(leaf_mask, jnp.float32)
     h, w = m.shape
-    ys, xs = _pixel_grids(h, w)
+    fh = h if frame_height is None else frame_height
+    ys, xs = _pixel_grids(h, w, row0)
     dx = xs - camera_cx
     dy = ys - camera_cy
     dist = jnp.sqrt(dx * dx + dy * dy)
-    max_dist = jnp.sqrt(jnp.float32(w * w + h * h))
+    max_dist = jnp.sqrt(jnp.float32(w * w + fh * fh))
     access = 1.0 - dist / max_dist
     forward = jnp.cos(jnp.arctan2(dy, dx))
     return (cfg.access_distance_weight * access
@@ -175,16 +193,42 @@ def tip_penalty_map(leaf_mask: jnp.ndarray,
 
 
 def stem_penalty_map(leaf_mask: jnp.ndarray,
-                     cfg: GraspScoringConfig) -> jnp.ndarray:
-    """Dilated bottom-third intersection (grasp_point_selector.py:688-701)."""
+                     cfg: GraspScoringConfig, row0=0,
+                     frame_height: int | None = None,
+                     dilate_fn=None) -> jnp.ndarray:
+    """Dilated bottom-third intersection (grasp_point_selector.py:688-701).
+
+    dilate_fn: override for row-sharded callers (halo-exchanging
+    dilation); defaults to the single-device ``dilate``.
+    """
     m = jnp.asarray(leaf_mask, bool)
     h, w = m.shape
-    bottom_third = h // 3
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    bottom = rows >= (h - bottom_third)
+    fh = h if frame_height is None else frame_height
+    if dilate_fn is None:
+        dilate_fn = dilate
+    bottom_third = fh // 3
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    bottom = rows >= (fh - bottom_third)
     masked_bottom = m & bottom
-    stem = dilate(masked_bottom, elliptical_kernel(cfg.stem_kernel)) & m
+    stem = dilate_fn(masked_bottom, elliptical_kernel(cfg.stem_kernel)) & m
     return stem.astype(jnp.float32)
+
+
+def combine_traditional(approach, sdf, flatness, accessibility, stem,
+                        cfg: GraspScoringConfig) -> jnp.ndarray:
+    """Weighted traditional score (grasp_point_selector.py:272-277 --
+    the CODE weights, not the README's)."""
+    return (cfg.approach_weight * approach
+            + cfg.sdf_weight * sdf
+            + cfg.flatness_weight * flatness
+            + cfg.accessibility_weight * accessibility) * (1.0 - stem)
+
+
+def valid_region_mask(distance, leaf_mask, stem,
+                      cfg: GraspScoringConfig) -> jnp.ndarray:
+    """Pixels eligible as candidates (grasp_point_selector.py:282-288)."""
+    return (distance > cfg.min_edge_distance) & jnp.asarray(leaf_mask, bool) \
+        & (stem < cfg.stem_penalty_cutoff)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas",
@@ -281,13 +325,9 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     accessibility = accessibility_score_map(m, camera_cx, camera_cy, cfg)
     stem = stem_penalty_map(m, cfg)
 
-    traditional = (cfg.approach_weight * approach
-                   + cfg.sdf_weight * sdf
-                   + cfg.flatness_weight * flatness
-                   + cfg.accessibility_weight * accessibility) * (1.0 - stem)
-
-    valid = (distance > cfg.min_edge_distance) & m \
-        & (stem < cfg.stem_penalty_cutoff)
+    traditional = combine_traditional(approach, sdf, flatness,
+                                      accessibility, stem, cfg)
+    valid = valid_region_mask(distance, m, stem, cfg)
 
     return GraspScores(
         sdf_score=sdf,

@@ -32,7 +32,8 @@ from leafgrasp_tpu.ops.edt import edt
 from leafgrasp_tpu.ops.components import leaf_stats, LeafStats
 from leafgrasp_tpu.ops.pareto import pareto_mask
 
-__all__ = ["LeafSelection", "select_optimal_leaf"]
+__all__ = ["LeafSelection", "select_optimal_leaf",
+           "leaf_choice_from_stats"]
 
 
 class LeafSelection(NamedTuple):
@@ -61,15 +62,6 @@ def select_optimal_leaf(mask_ids: jnp.ndarray, depth: jnp.ndarray,
     stats = leaf_stats(mask_ids, depth, max_leaves,
                        camera_cx, camera_cy, f_norm,
                        use_pallas=use_pallas)
-    present = stats.present
-
-    # --- tall-leaf split (leaf_scorer.py:41-64): median-depth of each leaf
-    # vs the mean of the medians over *all present* leaves (computed before
-    # the area filter in the reference).
-    n_present = jnp.maximum(jnp.sum(present), 1)
-    depth_mean = jnp.sum(jnp.where(present, stats.median_depth, 0.0)) \
-        / n_present
-    is_tall = present & (stats.median_depth < depth_mean)
 
     # --- global SDF extrema (leaf_scorer.py:66-71): the EDT of the
     # background w.r.t. all leaves is 0 on leaves; argmin is the first leaf
@@ -83,6 +75,29 @@ def select_optimal_leaf(mask_ids: jnp.ndarray, depth: jnp.ndarray,
         (amin % w).astype(jnp.float32)
     max_y, max_x = (amax // w).astype(jnp.float32), \
         (amax % w).astype(jnp.float32)
+
+    return leaf_choice_from_stats(stats, min_x, min_y, max_x, max_y,
+                                  h, w, f_norm, cfg)
+
+
+def leaf_choice_from_stats(stats: LeafStats, min_x, min_y, max_x, max_y,
+                           h: int, w: int, f_norm,
+                           cfg: LeafSelectionConfig) -> LeafSelection:
+    """Pure per-leaf choice from globally-reduced stats + SDF extrema.
+
+    Shared by the single-device path above and the row-sharded path
+    (parallel/spatial_frame.py), where every shard evaluates this
+    replicated (all inputs are (L,)-vectors or scalars).
+    """
+    present = stats.present
+
+    # --- tall-leaf split (leaf_scorer.py:41-64): median-depth of each leaf
+    # vs the mean of the medians over *all present* leaves (computed before
+    # the area filter in the reference).
+    n_present = jnp.maximum(jnp.sum(present), 1)
+    depth_mean = jnp.sum(jnp.where(present, stats.median_depth, 0.0)) \
+        / n_present
+    is_tall = present & (stats.median_depth < depth_mean)
 
     # --- per-leaf scores (leaf_scorer.py:74-138), padded over slots -------
     candidate = present & (stats.area >= cfg.min_leaf_area)

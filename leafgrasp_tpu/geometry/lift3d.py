@@ -43,10 +43,13 @@ class PreGrasp(NamedTuple):
     from_search: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "frame_height",
+                                             "any_reduce"))
 def pre_grasp_point(grasp_point_3d: jnp.ndarray, leaf_mask: jnp.ndarray,
                     camera_cx, camera_cy, f_norm,
-                    cfg: PreGraspConfig = PreGraspConfig()) -> PreGrasp:
+                    cfg: PreGraspConfig = PreGraspConfig(),
+                    row0=0, frame_height: int | None = None,
+                    any_reduce=None) -> PreGrasp:
     """March 5..10cm back along the camera ray at constant Z; accept the
     first test point that projects inside the image, clears the 15px-dilated
     leaf mask, and sits >= min_distance from the grasp point.
@@ -55,10 +58,16 @@ def pre_grasp_point(grasp_point_3d: jnp.ndarray, leaf_mask: jnp.ndarray,
     ||test - grasp|| = dist * sqrt(dir_x^2 + dir_y^2) (Z is held constant),
     which for typical viewing geometry is < min_distance, so the fallback
     max-distance point is the common outcome -- reproduced exactly.
+
+    Row-sharded callers pass their local mask block + row0/frame_height
+    and an ``any_reduce`` hook (cross-shard OR via summed int); every
+    window cell is owned by exactly one shard, so the OR over owned
+    cells reproduces the full-frame window check.
     """
     g = jnp.asarray(grasp_point_3d, jnp.float32)
     m = jnp.asarray(leaf_mask, bool)
     h, w = m.shape
+    fh = h if frame_height is None else frame_height
 
     direction = g / jnp.maximum(jnp.linalg.norm(g), 1e-30)
 
@@ -78,9 +87,9 @@ def pre_grasp_point(grasp_point_3d: jnp.ndarray, leaf_mask: jnp.ndarray,
     pts = jax.vmap(test_point)(dists)                       # (S, 3)
     us, vs = jax.vmap(project_to_2d, in_axes=(0, None, None, None))(
         pts, camera_cx, camera_cy, f_norm)
-    in_bounds = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+    in_bounds = (us >= 0) & (us < w) & (vs >= 0) & (vs < fh)
     uc = jnp.clip(us, 0, w - 1)
-    vc = jnp.clip(vs, 0, h - 1)
+    vc = jnp.clip(vs, 0, fh - 1)
 
     # dilated_mask[p] == any leaf pixel within the SE window around p;
     # only the S test pixels are queried, so test each against its own
@@ -91,17 +100,22 @@ def pre_grasp_point(grasp_point_3d: jnp.ndarray, leaf_mask: jnp.ndarray,
     offs = jnp.arange(k, dtype=jnp.int32) - k // 2
 
     def covered(u, v):
-        rows = jnp.clip(v + offs, 0, h - 1)
+        grows = v + offs                       # global frame rows
         cols = jnp.clip(u + offs, 0, w - 1)
-        rows_ok = (v + offs >= 0) & (v + offs < h)
+        rows_ok = (grows >= 0) & (grows < fh) \
+            & (grows >= row0) & (grows < row0 + h)
         cols_ok = (u + offs >= 0) & (u + offs < w)
-        window = m[rows[:, None], cols[None, :]]
+        lrows = jnp.clip(grows - row0, 0, h - 1)
+        window = m[lrows[:, None], cols[None, :]]
         valid = rows_ok[:, None] & cols_ok[None, :]
         # window cell at SE-relative offset (i - ay, j - ax) pairs with
         # SE[i, j] (cv2 dilation reads src at p + offset - anchor)
         return jnp.any(window & valid & se)
 
-    clear = ~jax.vmap(covered)(uc, vc)
+    cover = jax.vmap(covered)(uc, vc)
+    if any_reduce is not None:
+        cover = any_reduce(cover.astype(jnp.int32)) > 0
+    clear = ~cover
     far_enough = jnp.linalg.norm(pts - g[None, :], axis=1) \
         >= cfg.min_distance_m
     ok = in_bounds & clear & far_enough

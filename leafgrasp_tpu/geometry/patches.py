@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from leafgrasp_tpu.geometry.grasp_scorer import GraspScores
 
-__all__ = ["extract_patches", "assemble_cnn_inputs"]
+__all__ = ["extract_patches", "assemble_cnn_inputs",
+           "normalize_patch_batch"]
 
 
 def _minmax(patch: jnp.ndarray) -> jnp.ndarray:
@@ -56,6 +57,20 @@ def extract_patches(maps: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     return maps[:, r, cl].transpose(1, 0, 2, 3)
 
 
+def normalize_patch_batch(patches: jnp.ndarray) -> jnp.ndarray:
+    """(K, 9, P, P) raw channel patches -> (K, P, P, 9) NHWC normalized
+    batch: depth + the 7 score channels per-patch min-maxed, mask raw
+    (grasp_point_selector.py:84-121)."""
+    def norm_one(p):  # p: (9, P, P)
+        depth_n = _minmax(p[0])
+        mask_raw = p[1]
+        score_n = jax.vmap(_minmax)(p[2:])
+        return jnp.concatenate([depth_n[None], mask_raw[None], score_n])
+
+    normed = jax.vmap(norm_one)(patches)                    # (K, 9, P, P)
+    return normed.transpose(0, 2, 3, 1)                     # NHWC
+
+
 def assemble_cnn_inputs(depth: jnp.ndarray, leaf_mask: jnp.ndarray,
                         scores: GraspScores, xs: jnp.ndarray,
                         ys: jnp.ndarray, patch_size: int = 32) -> jnp.ndarray:
@@ -66,12 +81,4 @@ def assemble_cnn_inputs(depth: jnp.ndarray, leaf_mask: jnp.ndarray,
         scores.stacked_channels(),
     ], axis=0)                                              # (9, H, W)
     patches = extract_patches(stack, xs, ys, patch_size)    # (K, 9, P, P)
-
-    def norm_one(p):  # p: (9, P, P)
-        depth_n = _minmax(p[0])
-        mask_raw = p[1]
-        score_n = jax.vmap(_minmax)(p[2:])
-        return jnp.concatenate([depth_n[None], mask_raw[None], score_n])
-
-    normed = jax.vmap(norm_one)(patches)                    # (K, 9, P, P)
-    return normed.transpose(0, 2, 3, 1)                     # NHWC
+    return normalize_patch_batch(patches)

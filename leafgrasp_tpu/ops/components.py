@@ -25,7 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LeafStats", "leaf_stats", "masked_median"]
+__all__ = ["LeafStats", "leaf_stats", "masked_median",
+           "masked_median_range"]
 
 
 class LeafStats(NamedTuple):
@@ -43,19 +44,24 @@ class LeafStats(NamedTuple):
 
 
 def _per_leaf_sums(values: jnp.ndarray, ids: jnp.ndarray,
-                   num: int) -> jnp.ndarray:
+                   num: int, reduce_fn=None) -> jnp.ndarray:
     """values: (C, H, W), ids: (H, W) -> (C, num) scatter-free segment
     sums. The 2D layout matters: reducing over both spatial axes of the
     native (H, W) tiling measured ~2.7x faster than reducing a
-    flattened minor axis."""
+    flattened minor axis.
+
+    reduce_fn: optional cross-shard sum hook (e.g. ``lax.psum`` inside a
+    row-sharded ``shard_map`` body); identity when None.
+    """
     seg = jnp.arange(num, dtype=ids.dtype)[:, None, None]    # (num, 1, 1)
     onehot = ids[None] == seg                                # (num, H, W)
-    return jnp.sum(jnp.where(onehot[None], values[:, None], 0.0),
-                   axis=(2, 3))
+    out = jnp.sum(jnp.where(onehot[None], values[:, None], 0.0),
+                  axis=(2, 3))
+    return out if reduce_fn is None else reduce_fn(out)
 
 
 def masked_median(depth: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
-                  num: int, iters: int = 18) -> jnp.ndarray:
+                  num: int, iters: int = 18, reduce_fn=None) -> jnp.ndarray:
     """Per-segment median of `depth` grouped by `ids`, via vectorized
     bisection on the value range (no sort, no scatter).
 
@@ -63,9 +69,24 @@ def masked_median(depth: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
     middle order statistics for even counts), to ~range*2^-iters.
     depth/ids keep their native (H, W) layout (2D-axis reductions are
     ~2.7x faster than flattened minor-axis reductions on TPU).
+
+    reduce_fn: optional cross-shard SUM hook for the per-round counts.
+    The bisection range must be frame-global, so sharded callers must
+    use ``masked_median_range`` with globally-reduced dmin/dmax.
     """
-    dmin = jnp.min(depth)
-    dmax = jnp.max(depth)
+    if reduce_fn is not None:
+        raise ValueError("sharded callers must use masked_median_range "
+                         "with globally-reduced dmin/dmax")
+    return masked_median_range(depth, ids, counts, num,
+                               jnp.min(depth), jnp.max(depth),
+                               iters=iters)
+
+
+def masked_median_range(depth: jnp.ndarray, ids: jnp.ndarray,
+                        counts: jnp.ndarray, num: int, dmin, dmax,
+                        iters: int = 18, reduce_fn=None) -> jnp.ndarray:
+    """`masked_median` with an explicit bisection range [dmin, dmax]
+    (callers in sharded bodies supply globally-reduced extrema)."""
 
     cnt = counts.astype(jnp.int32)
     # 0-based order statistics to extract, stacked (2, num)
@@ -81,7 +102,9 @@ def masked_median(depth: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
         lo, hi = carry
         mid = 0.5 * (lo + hi)                        # (2, num)
         le = depth[None, None] <= mid[:, :, None, None]  # (2, num, H, W)
-        cnt_le = jnp.sum(jnp.where(onehot, le, False), axis=(2, 3))
+        cnt_le = jnp.sum(jnp.where(onehot, le, 0), axis=(2, 3))
+        if reduce_fn is not None:
+            cnt_le = reduce_fn(cnt_le)
         # k-th order stat x_k satisfies: count(<= x_k) >= k+1
         go_left = cnt_le >= (ks + 1)
         hi = jnp.where(go_left, mid, hi)
@@ -95,7 +118,9 @@ def masked_median(depth: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
 
 def leaf_stats(mask_ids: jnp.ndarray, depth: jnp.ndarray,
                max_leaves: int, camera_cx: float, camera_cy: float,
-               f_norm: float, use_pallas: bool = False) -> LeafStats:
+               f_norm: float, use_pallas: bool = False,
+               reduce_fn=None, row0=0, frame_height: int | None = None,
+               depth_range=None) -> LeafStats:
     """Compute all per-leaf statistics in one scatter-free pass.
 
     mask_ids : (H, W) integer instance map (0 = background)
@@ -103,21 +128,30 @@ def leaf_stats(mask_ids: jnp.ndarray, depth: jnp.ndarray,
     use_pallas : accepted for signature uniformity with the scoring
         path; currently a no-op here (see the note above the median
         call -- the bisection beat the Pallas histogram on-chip).
+
+    Sharded-caller hooks (identity semantics when left at defaults):
+    reduce_fn -- cross-shard SUM applied to every per-leaf partial sum
+    (e.g. ``lax.psum`` inside a row-sharded shard_map body); row0 --
+    global row index of this shard's first local row (centroids/border
+    use frame coordinates); frame_height -- full frame height for the
+    bottom-border row; depth_range -- globally-reduced (dmin, dmax) for
+    the median bisection (required with reduce_fn).
     """
     h, w = mask_ids.shape
+    fh = h if frame_height is None else frame_height
     num_seg = max_leaves + 2  # 0 = background, 1..L = leaves, L+1 overflow
 
     ids = jnp.asarray(mask_ids, jnp.int32)
     ids = jnp.where(ids > max_leaves, max_leaves + 1, jnp.maximum(ids, 0))
     depth2d = jnp.asarray(depth, jnp.float32)
 
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    ys = row0 + jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     ray_norm = jnp.sqrt((xs - camera_cx) ** 2 + (ys - camera_cy) ** 2
                         + jnp.float32(f_norm) ** 2)
 
-    border = jnp.zeros((h, w), bool)
-    border = border.at[0, :].set(True).at[-1, :].set(True)
+    ys_i = row0 + jnp.arange(h, dtype=jnp.int32)[:, None]
+    border = jnp.broadcast_to((ys_i == 0) | (ys_i == fh - 1), (h, w))
     border = border.at[:, 0].set(True).at[:, -1].set(True)
 
     channels = jnp.stack([
@@ -128,7 +162,7 @@ def leaf_stats(mask_ids: jnp.ndarray, depth: jnp.ndarray,
         ray_norm,
         border.astype(jnp.float32),
     ])
-    sums = _per_leaf_sums(channels, ids, num_seg)       # (6, num_seg)
+    sums = _per_leaf_sums(channels, ids, num_seg, reduce_fn)  # (6, num_seg)
     area_all, sum_x, sum_y, sum_depth, sum_ray, border_counts = sums
     safe_area = jnp.maximum(area_all, 1.0)
 
@@ -138,7 +172,14 @@ def leaf_stats(mask_ids: jnp.ndarray, depth: jnp.ndarray,
     # a 128-row systolic array) -- kept as a verified component, not the
     # default. The flag stays so callers compile one signature.
     del use_pallas
-    median_all = masked_median(depth2d, ids, area_all, num_seg)
+    if reduce_fn is None:
+        median_all = masked_median(depth2d, ids, area_all, num_seg)
+    else:
+        if depth_range is None:
+            raise ValueError("depth_range required with reduce_fn")
+        median_all = masked_median_range(depth2d, ids, area_all, num_seg,
+                                         depth_range[0], depth_range[1],
+                                         reduce_fn=reduce_fn)
 
     sl = slice(1, max_leaves + 1)
     area = area_all[sl].astype(jnp.int32)

@@ -114,9 +114,10 @@ def _shift_cols(arr: jnp.ndarray, delta: int, fill) -> jnp.ndarray:
     return jnp.concatenate([pad, arr[:, :delta]], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "big"))
 def squared_edt(seeds: jnp.ndarray, chunk: int = 128,
-                g2: jnp.ndarray | None = None) -> jnp.ndarray:
+                g2: jnp.ndarray | None = None,
+                big: float | None = None) -> jnp.ndarray:
     """Exact squared L2 distance from every pixel to the nearest True
     seed, via a BANDED min-plus sweep.
 
@@ -135,10 +136,15 @@ def squared_edt(seeds: jnp.ndarray, chunk: int = 128,
     Typical frames have B in the low hundreds -> 3-10x less work than
     the full sweep, degrading gracefully to the full sweep for
     seed-free frames.
+
+    big: optional sentinel override (> any achievable squared distance).
+    Row-sharded callers operating on a local row block MUST pass the
+    full-frame (H + W)^2 -- the local block's own (h + w)^2 can be
+    smaller than true squared distances, corrupting padded columns.
     """
     seeds = jnp.asarray(seeds, dtype=bool)
     h, w = seeds.shape
-    big = jnp.float32((h + w) * (h + w))
+    big = jnp.float32((h + w) * (h + w) if big is None else big)
 
     if g2 is None:
         g = nearest_seed_dist_1d(seeds, axis=0).astype(jnp.float32)

@@ -29,23 +29,38 @@ class Orientation(NamedTuple):
     valid: jnp.ndarray        # bool: mask had any pixels
 
 
-def mask_orientation(mask: jnp.ndarray) -> Orientation:
-    """Major-axis angle / extents / centroid of a binary mask via PCA."""
+def mask_orientation(mask: jnp.ndarray, reduce_fn=None,
+                     row0=0) -> Orientation:
+    """Major-axis angle / extents / centroid of a binary mask via PCA.
+
+    reduce_fn/row0: cross-shard SUM hook + global first-row offset for
+    row-sharded callers (identity semantics at the defaults). Second
+    moments stay CENTERED (two reduction rounds) -- raw moments about
+    the origin cancel catastrophically in f32 at 1440-px scale.
+    """
     m = jnp.asarray(mask, jnp.float32)
     h, w = m.shape
-    total = jnp.sum(m)
+    reduce_fn = reduce_fn or (lambda x: x)
+
+    ys = row0 + jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    first = reduce_fn(jnp.stack([jnp.sum(m), jnp.sum(m * xs),
+                                 jnp.sum(m * ys)]))
+    total, sx, sy = first
     valid = total > 0
     safe_total = jnp.maximum(total, 1.0)
 
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    mx = sx / safe_total
+    my = sy / safe_total
 
-    mx = jnp.sum(m * xs) / safe_total
-    my = jnp.sum(m * ys) / safe_total
-
-    dx2 = jnp.sum(m * (xs - mx) ** 2) / safe_total
-    dy2 = jnp.sum(m * (ys - my) ** 2) / safe_total
-    dxy = jnp.sum(m * (xs - mx) * (ys - my)) / safe_total
+    second = reduce_fn(jnp.stack([
+        jnp.sum(m * (xs - mx) ** 2),
+        jnp.sum(m * (ys - my) ** 2),
+        jnp.sum(m * (xs - mx) * (ys - my))]))
+    dx2 = second[0] / safe_total
+    dy2 = second[1] / safe_total
+    dxy = second[2] / safe_total
 
     # Principal eigen-direction of [[dx2, dxy], [dxy, dy2]].
     angle = 0.5 * jnp.arctan2(2.0 * dxy, dx2 - dy2)

@@ -99,3 +99,83 @@ def test_batched_frame_fn_dp():
                 np.float32(200.0))
     np.testing.assert_array_equal(np.asarray(res.grasp_uv)[0],
                                   np.asarray(r0.grasp_uv))
+
+
+# ---------------------------------------------------------------------------
+# row-sharded FULL frame pipeline (parallel/spatial_frame.py)
+# ---------------------------------------------------------------------------
+
+def _spatial_cfg(iso="union"):
+    from leafgrasp_tpu.config import (PipelineConfig, FrameConfig,
+                                      LeafSelectionConfig,
+                                      GraspScoringConfig)
+    return PipelineConfig(
+        frame=FrameConfig(height=264, width=360, max_leaves=8),
+        leaf=LeafSelectionConfig(min_leaf_area=500),
+        grasp=GraspScoringConfig(isolation_context=iso))
+
+
+def test_sharded_frame_cv_only_matches_unsharded():
+    """The row-sharded program must reproduce the single-device pipeline:
+    identical leaf id, grasp pixel and candidate set; float scores to
+    psum-reduction-order tolerance."""
+    from leafgrasp_tpu.parallel.spatial_frame import make_sharded_frame_fn
+    from leafgrasp_tpu.pipeline.frame import make_frame_fn
+    cfg = _spatial_cfg()
+    mask, depth = make_leaf_scene(264, 360, num_leaves=4, seed=3,
+                                  margin=40)
+    cx, cy, f = np.float32(180.0), np.float32(135.0), np.float32(430.0)
+    mesh = make_mesh(8, model_axis=1)
+    r_sh = make_sharded_frame_fn(mesh, cfg, with_cnn=False)(
+        mask, depth, cx, cy, f)
+    r_un = make_frame_fn(cfg, with_cnn=False, use_pallas=False)(
+        mask, depth, cx, cy, f)
+    assert int(r_sh.leaf_id) == int(r_un.leaf_id)
+    np.testing.assert_array_equal(np.asarray(r_sh.grasp_uv),
+                                  np.asarray(r_un.grasp_uv))
+    np.testing.assert_array_equal(np.asarray(r_sh.candidates.x),
+                                  np.asarray(r_un.candidates.x))
+    np.testing.assert_array_equal(np.asarray(r_sh.candidates.y),
+                                  np.asarray(r_un.candidates.y))
+    np.testing.assert_allclose(np.asarray(r_sh.candidates.score),
+                               np.asarray(r_un.candidates.score),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_sh.grasp_xyz),
+                               np.asarray(r_un.grasp_xyz), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_sh.pre_grasp_xyz),
+                               np.asarray(r_un.pre_grasp_xyz), atol=1e-6)
+
+
+@pytest.mark.parametrize("iso", ["union", "reference_self"])
+def test_sharded_frame_cnn_matches_unsharded(iso):
+    """CNN path: halo patch extraction + psum merge must reproduce the
+    single-device 9-channel patch batch (fusion scores equal)."""
+    from leafgrasp_tpu.models.grasp_cnn import init_grasp_cnn
+    from leafgrasp_tpu.parallel.spatial_frame import make_sharded_frame_fn
+    from leafgrasp_tpu.pipeline.frame import make_frame_fn
+    cfg = _spatial_cfg(iso)
+    mask, depth = make_leaf_scene(264, 360, num_leaves=4, seed=7,
+                                  margin=40)
+    cx, cy, f = np.float32(180.0), np.float32(135.0), np.float32(430.0)
+    _, variables = init_grasp_cnn(jax.random.PRNGKey(0), cfg.model)
+    mesh = make_mesh(8, model_axis=1)
+    r_sh = make_sharded_frame_fn(mesh, cfg, with_cnn=True)(
+        mask, depth, cx, cy, f, variables)
+    r_un = make_frame_fn(cfg, with_cnn=True, use_pallas=False)(
+        mask, depth, cx, cy, f, variables)
+    assert int(r_sh.leaf_id) == int(r_un.leaf_id)
+    np.testing.assert_array_equal(np.asarray(r_sh.grasp_uv),
+                                  np.asarray(r_un.grasp_uv))
+    assert bool(r_sh.ml_used) == bool(r_un.ml_used)
+    np.testing.assert_allclose(np.asarray(r_sh.fusion.combined),
+                               np.asarray(r_un.fusion.combined),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_frame_rejects_bad_shapes():
+    from leafgrasp_tpu.config import PipelineConfig, FrameConfig
+    from leafgrasp_tpu.parallel.spatial_frame import make_sharded_frame_fn
+    mesh = make_mesh(8, model_axis=1)
+    with pytest.raises(ValueError):
+        make_sharded_frame_fn(
+            mesh, PipelineConfig(frame=FrameConfig(height=270, width=360)))

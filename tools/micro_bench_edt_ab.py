@@ -1,4 +1,10 @@
 """Interleaved A/B benchmark of EDT paths (cancels environment drift)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax
