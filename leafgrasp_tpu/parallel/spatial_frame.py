@@ -175,7 +175,6 @@ def _dilate_sharded(mask: jnp.ndarray, kernel, ax: str,
     the vertical SE reach is satisfied by a halo of hdist rows (OOB rows
     at the frame edge fill with the background sentinel, matching
     cv2.dilate's zero border)."""
-    import numpy as np
     m = jnp.asarray(mask, bool)
     rows, w = m.shape
     runs = _row_runs(np.asarray(kernel))

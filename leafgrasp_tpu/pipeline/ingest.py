@@ -105,6 +105,11 @@ class GraspService:
         VLA re-ranking; failures degrade to the geometric choice.
     publish : callback(str) for the result message.
     on_result : callback(FrameResult, dict) with the full result.
+    spatial_mesh : optional jax.sharding.Mesh; when given, each frame is
+        row-sharded over the mesh's ``data`` axis (single-frame latency
+        scales with chips over ICI; see parallel/spatial_frame.py).
+        Requires frame height % data-axis == 0 and an isolation mode
+        other than ``union_half``.
     """
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -112,7 +117,8 @@ class GraspService:
                  publish: Optional[Callable[[str], None]] = None,
                  on_result: Optional[Callable] = None,
                  min_interval_s: float = 0.1,
-                 prefer_native_bus: bool = True):
+                 prefer_native_bus: bool = True,
+                 spatial_mesh=None):
         self.cfg = cfg
         self.camera = cfg.camera
         self.cnn_variables = cnn_variables
@@ -124,7 +130,16 @@ class GraspService:
 
         self.bus = FrameBus(cfg.frame.height, cfg.frame.width,
                             prefer_native=prefer_native_bus)
-        self._fn = make_frame_fn(cfg, with_cnn=cnn_variables is not None)
+        if spatial_mesh is not None:
+            # row-shard each frame over the mesh's data axis (single-
+            # frame latency scales with chips; parallel/spatial_frame.py)
+            from leafgrasp_tpu.parallel.spatial_frame import \
+                make_sharded_frame_fn
+            self._fn = make_sharded_frame_fn(
+                spatial_mesh, cfg, with_cnn=cnn_variables is not None)
+        else:
+            self._fn = make_frame_fn(cfg,
+                                     with_cnn=cnn_variables is not None)
         self._last_processed = 0.0
         self._latest_rgb = None
         self._frames = 0

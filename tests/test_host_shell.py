@@ -292,3 +292,24 @@ def test_grasp_service_threaded_loop():
     assert not t.is_alive()
     assert len(results) >= 3
     assert all(r["found"] for r in results[:3])
+
+
+def test_grasp_service_spatial_mesh():
+    """GraspService(spatial_mesh=...) row-shards each frame and must
+    produce the same message as the single-device service."""
+    from leafgrasp_tpu.parallel.mesh import make_mesh
+    cfg = PipelineConfig(
+        frame=FrameConfig(height=264, width=360, max_leaves=8),
+        leaf=LeafSelectionConfig(min_leaf_area=1500))
+    mask, depth = make_leaf_scene(height=264, width=360, num_leaves=4,
+                                  seed=3, margin=40)
+    mesh = make_mesh(8, model_axis=1)
+    svc_sh = GraspService(cfg, min_interval_s=0.0, spatial_mesh=mesh)
+    svc_un = GraspService(cfg, min_interval_s=0.0)
+    outs = []
+    for svc in (svc_sh, svc_un):
+        svc.on_mask(mask)
+        svc.on_depth(depth)
+        outs.append(svc.process_pending(force=True))
+    assert outs[0] is not None and outs[0]["found"]
+    assert outs[0]["message"] == outs[1]["message"]
