@@ -16,12 +16,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main():
-    from leafgrasp_tpu.config import DEFAULT_CONFIG
+    import argparse
+    from leafgrasp_tpu.config import DEFAULT_CONFIG, load_config
     from leafgrasp_tpu.io.scenes import make_leaf_scene, default_projection
     from leafgrasp_tpu.pipeline.ingest import GraspService
     from leafgrasp_tpu.pipeline.visualizer import LeafVisualizer
 
-    cfg = DEFAULT_CONFIG
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="YAML/JSON config file (e.g. configs/baseline.yaml)")
+    args = ap.parse_args()
+    cfg = load_config(args.config) if args.config else DEFAULT_CONFIG
     mask, depth = make_leaf_scene(cfg.frame.height, cfg.frame.width,
                                   num_leaves=6, seed=8)
 

@@ -231,3 +231,71 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+# --------------------------------------------------------------------------
+# config file IO -- the reference README advertises
+# ``--config configs/baseline.yaml`` but ships no loader or configs
+# (reference README.md:210, SURVEY.md section 5.6); this implements it.
+# --------------------------------------------------------------------------
+
+def _to_dict(obj):
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name))
+                for f in dataclasses.fields(obj)}
+    if isinstance(obj, tuple):
+        return [_to_dict(v) for v in obj]
+    return obj
+
+
+def _as_tuple(value):
+    if isinstance(value, list):
+        return tuple(_as_tuple(v) for v in value)
+    return value
+
+
+def _from_dict(cls, data: dict):
+    """Build `cls` from a (partial) nested mapping; absent keys keep
+    defaults, unknown keys raise, lists become tuples (hashability)."""
+    defaults = cls()
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(data) - names
+    if unknown:
+        raise ValueError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+    kw = {}
+    for name, value in data.items():
+        current = getattr(defaults, name)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kw[name] = _from_dict(type(current), value)
+        else:
+            kw[name] = _as_tuple(value)
+    return dataclasses.replace(defaults, **kw)
+
+
+def load_config(path: str) -> PipelineConfig:
+    """Load a PipelineConfig from a YAML or JSON file.
+
+    Files contain a (possibly partial) nested mapping mirroring the
+    dataclass tree; absent keys keep their defaults, unknown keys raise.
+    """
+    import json
+    with open(path) as fh:
+        text = fh.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+        data = yaml.safe_load(text) or {}
+    else:
+        data = json.loads(text)
+    return _from_dict(PipelineConfig, data)
+
+
+def save_config(cfg: PipelineConfig, path: str) -> None:
+    """Write the full config tree to YAML or JSON."""
+    import json
+    data = _to_dict(cfg)
+    with open(path, "w") as fh:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+            yaml.safe_dump(data, fh, sort_keys=False)
+        else:
+            json.dump(data, fh, indent=2)

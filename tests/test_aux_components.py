@@ -191,3 +191,48 @@ def test_vla_sweep_two_experiments(tmp_path):
         assert (d / "adapter.npz.adapter_config.json").exists()
     assert (tmp_path / "sweep_summary.json").exists()
     assert all(np.isfinite(r["final_loss"]) for r in results)
+
+
+# ------------------------------------------------------------ config IO --
+
+def test_config_yaml_roundtrip(tmp_path):
+    """save -> load must reproduce the exact config tree (the reference
+    advertises --config configs/baseline.yaml but ships no loader,
+    README.md:210)."""
+    from leafgrasp_tpu.config import (DEFAULT_CONFIG, GraspScoringConfig,
+                                      load_config, save_config)
+    cfg = DEFAULT_CONFIG.replace(
+        grasp=GraspScoringConfig(isolation_context="reference_self"))
+    p = str(tmp_path / "cfg.yaml")
+    save_config(cfg, p)
+    assert load_config(p) == cfg
+    pj = str(tmp_path / "cfg.json")
+    save_config(cfg, pj)
+    assert load_config(pj) == cfg
+
+
+def test_config_partial_and_unknown_keys(tmp_path):
+    from leafgrasp_tpu.config import DEFAULT_CONFIG, load_config
+    p = tmp_path / "partial.yaml"
+    p.write_text("frame:\n  height: 540\nleaf:\n  min_leaf_area: 42\n")
+    cfg = load_config(str(p))
+    assert cfg.frame.height == 540 and cfg.frame.width == 1440
+    assert cfg.leaf.min_leaf_area == 42
+    assert cfg == DEFAULT_CONFIG.replace(
+        frame=cfg.frame, leaf=cfg.leaf)   # everything else defaulted
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("grasp:\n  no_such_knob: 1\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_config(str(bad))
+
+
+def test_shipped_configs_load():
+    """The shipped configs/ presets must load and stay jit-hashable."""
+    from leafgrasp_tpu.config import load_config
+    import glob
+    paths = sorted(glob.glob("configs/*.yaml"))
+    assert len(paths) >= 3
+    for p in paths:
+        cfg = load_config(p)
+        hash(cfg)   # frozen tree stays a valid jit static arg
