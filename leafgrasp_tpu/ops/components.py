@@ -61,7 +61,7 @@ def _per_leaf_sums(values: jnp.ndarray, ids: jnp.ndarray,
 
 
 def masked_median(depth: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
-                  num: int, iters: int = 18, reduce_fn=None) -> jnp.ndarray:
+                  num: int, iters: int = 18) -> jnp.ndarray:
     """Per-segment median of `depth` grouped by `ids`, via vectorized
     bisection on the value range (no sort, no scatter).
 
@@ -70,13 +70,9 @@ def masked_median(depth: jnp.ndarray, ids: jnp.ndarray, counts: jnp.ndarray,
     depth/ids keep their native (H, W) layout (2D-axis reductions are
     ~2.7x faster than flattened minor-axis reductions on TPU).
 
-    reduce_fn: optional cross-shard SUM hook for the per-round counts.
-    The bisection range must be frame-global, so sharded callers must
-    use ``masked_median_range`` with globally-reduced dmin/dmax.
+    Row-sharded callers must use ``masked_median_range`` instead (the
+    bisection range has to be frame-global).
     """
-    if reduce_fn is not None:
-        raise ValueError("sharded callers must use masked_median_range "
-                         "with globally-reduced dmin/dmax")
     return masked_median_range(depth, ids, counts, num,
                                jnp.min(depth), jnp.max(depth),
                                iters=iters)

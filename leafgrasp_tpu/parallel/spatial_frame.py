@@ -239,12 +239,14 @@ def make_sharded_frame_fn(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
         raise ValueError(f"frame height {h} must divide {n_shards} shards")
     rows = h // n_shards
     iso_mode = cfg.grasp.isolation_context
-    if iso_mode == "union_half":
+    if iso_mode == "union_half" and with_cnn:
+        # isolation feeds only the CNN patch channels; CV-only mode
+        # skips it entirely, so union_half configs still serve sharded
         raise NotImplementedError(
             "union_half isolation does not row-shard; use 'union'")
     min_rows = max(cfg.grasp.isolation_wide_kernel // 2,
                    cfg.grasp.stem_kernel // 2, cfg.fusion.patch_size // 2,
-                   3)
+                   cfg.grasp.gaussian_kernel_size // 2 + 1)
     if rows < min_rows:
         raise ValueError(f"{rows} rows/shard < required halo {min_rows}")
 
@@ -313,7 +315,6 @@ def make_sharded_frame_fn(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
 
         sdf_raw = din - dout
         norm_max = jax.lax.pmax(jnp.max(jnp.abs(sdf_raw)), ax)
-        from leafgrasp_tpu.ops.pca import mask_orientation
         orient = mask_orientation(leaf, reduce_fn=psum, row0=row0)
 
         sdf = sdf_score_map(leaf, cx, cy, cfg.grasp, dist_inside=din,

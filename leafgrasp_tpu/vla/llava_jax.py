@@ -247,9 +247,13 @@ class _MistralAttention(nn.Module):
         v = v.reshape(b, t, c.kv_heads, hd)
 
         if cache is not None:
+            # cache dtype rules (RoPE upcasts k to f32 even under bf16
+            # compute, so cast at the boundary rather than assume)
             ck, cv, cur = cache
-            k = jax.lax.dynamic_update_slice(ck, k, (0, cur, 0, 0))
-            v = jax.lax.dynamic_update_slice(cv, v, (0, cur, 0, 0))
+            k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                             (0, cur, 0, 0))
+            v = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                             (0, cur, 0, 0))
             cache = (k, v, cur + t)
 
         rep = c.heads // c.kv_heads
@@ -488,8 +492,12 @@ def greedy_generate_llava(model: LlavaJax, variables, input_ids,
     c = model.cfg
     b, t = input_ids.shape
     total = t + max_new_tokens
-    caches = [(jnp.zeros((b, total, c.kv_heads, c.head_dim), jnp.float32),
-               jnp.zeros((b, total, c.kv_heads, c.head_dim), jnp.float32),
+    # caches live in the compute dtype (K/V are produced in c.jnp_dtype;
+    # bf16 also halves cache HBM -- attention scores still reduce in f32
+    # via preferred_element_type)
+    kv_dt = c.jnp_dtype
+    caches = [(jnp.zeros((b, total, c.kv_heads, c.head_dim), kv_dt),
+               jnp.zeros((b, total, c.kv_heads, c.head_dim), kv_dt),
                jnp.int32(0)) for _ in range(c.layers)]
 
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))

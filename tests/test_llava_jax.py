@@ -361,3 +361,22 @@ def test_bf16_compute_dtype(tiny_pair):
     agree = (np.argmax(np.asarray(a), -1)
              == np.argmax(np.asarray(b), -1)).mean()
     assert agree >= 0.8
+
+
+def test_bf16_generate_runs(tiny_pair):
+    """greedy_generate_llava must work in the bf16 compute dtype (the KV
+    caches must be allocated in the compute dtype; regression for the
+    f32-cache/bf16-update dtype crash found by the VLA bench)."""
+    import dataclasses
+    import jax.numpy as jnp
+    _, model, variables, cfg = tiny_pair
+    bcfg = dataclasses.replace(cfg, dtype="bfloat16")
+    bmodel = LlavaJax(bcfg)
+    ids = np.array([[1, 5, 7]], np.int32)
+    gen = greedy_generate_llava(bmodel, variables, jnp.asarray(ids),
+                                max_new_tokens=4)
+    out = np.asarray(gen)
+    assert out.shape == (1, 4)
+    # bf16 logits may legitimately diverge from f32 argmax on near-ties;
+    # just require valid token ids
+    assert (out >= 0).all() and (out < bcfg.vocab_size).all()

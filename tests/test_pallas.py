@@ -182,3 +182,38 @@ def test_pallas_median_on_scene(small_scene):
         if not sel.any():
             continue
         assert abs(med[n] - np.median(depth[sel])) <= span / 256 ** 2
+
+
+def test_pallas_banded_pass2_matches_oracle():
+    """Per-tile banded sweep kernel: exact on dense, sparse and
+    seedless channels."""
+    import jax.numpy as jnp
+    from leafgrasp_tpu.ops.edt import nearest_seed_dist_1d, squared_edt_full
+    from leafgrasp_tpu.ops.pallas_edt import squared_edt_pass2_banded
+    rng = np.random.default_rng(5)
+    dense = rng.random((96, 160)) < 0.1
+    sparse = np.zeros((96, 160), bool)
+    sparse[7, 140] = True
+    empty = np.zeros((96, 160), bool)
+    seeds = np.stack([dense, sparse, empty])
+    g = nearest_seed_dist_1d(jnp.asarray(seeds), axis=1).astype(jnp.float32)
+    got = np.asarray(squared_edt_pass2_banded(g * g, interpret=True))
+    want = np.stack([np.asarray(squared_edt_full(s)) for s in seeds])
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_pallas_rowband_edt_matches_oracle():
+    """Row-banded (sublane-major) kernel: exact vs the full sweep."""
+    import jax.numpy as jnp
+    from leafgrasp_tpu.ops.edt import squared_edt_full
+    from leafgrasp_tpu.ops.pallas_edt import edt_batch_rowband
+    mask, _ = make_leaf_scene(height=96, width=160, num_leaves=3, seed=4,
+                              margin=20)
+    rng = np.random.default_rng(9)
+    seeds = np.stack([mask > 0, mask == 2,
+                      rng.random((96, 160)) < 0.002,
+                      np.zeros((96, 160), bool)])
+    got = np.asarray(edt_batch_rowband(jnp.asarray(seeds), interpret=True))
+    want = np.stack([np.sqrt(np.asarray(squared_edt_full(s)))
+                     for s in seeds])
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)

@@ -179,3 +179,24 @@ def test_sharded_frame_rejects_bad_shapes():
     with pytest.raises(ValueError):
         make_sharded_frame_fn(
             mesh, PipelineConfig(frame=FrameConfig(height=270, width=360)))
+
+
+def test_sharded_frame_union_half_cv_only():
+    """union_half configs must serve row-sharded in CV-only mode (the
+    isolation fields are skipped entirely there); with_cnn=True stays
+    rejected."""
+    from leafgrasp_tpu.parallel.spatial_frame import make_sharded_frame_fn
+    from leafgrasp_tpu.pipeline.frame import make_frame_fn
+    cfg = _spatial_cfg("union_half")
+    mask, depth = make_leaf_scene(264, 360, num_leaves=4, seed=3,
+                                  margin=40)
+    cx, cy, f = np.float32(180.0), np.float32(135.0), np.float32(430.0)
+    mesh = make_mesh(8, model_axis=1)
+    r_sh = make_sharded_frame_fn(mesh, cfg, with_cnn=False)(
+        mask, depth, cx, cy, f)
+    r_un = make_frame_fn(cfg, with_cnn=False, use_pallas=False)(
+        mask, depth, cx, cy, f)
+    np.testing.assert_array_equal(np.asarray(r_sh.grasp_uv),
+                                  np.asarray(r_un.grasp_uv))
+    with pytest.raises(NotImplementedError):
+        make_sharded_frame_fn(mesh, cfg, with_cnn=True)

@@ -44,36 +44,21 @@ def one(m, d, v, use_pallas):
                         use_pallas=use_pallas)
 
 
+# variants: (batch size, use_pallas scoring kernel)
 batched_fns = {}
-for B in (2, 4, 8):
-    for up in (False,):
-        try:
-            fn = jax.jit(jax.vmap(
-                lambda m, d, v, _up=up: one(m, d, v, _up),
-                in_axes=(0, 0, None)))
-            mb = jnp.stack([np.asarray(masks[i]) for i in range(B)])
-            db = jnp.stack([np.asarray(depths[i]) for i in range(B)])
-            out = fn(mb, db, variables)
-            _ = np.asarray(out.grasp_uv)
-            batched_fns[f"batch{B}_pallas{int(up)}"] = (fn, mb, db, B)
-            print(f"compiled batch{B} pallas={up}", flush=True)
-        except Exception as e:
-            print(f"batch{B} pallas={up} FAILED: {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
-
-# also try pallas=True batched
-for B in (4,):
+for B, up in ((2, False), (4, False), (8, False), (4, True)):
     try:
-        fn = jax.jit(jax.vmap(lambda m, d, v: one(m, d, v, True),
-                              in_axes=(0, 0, None)))
+        fn = jax.jit(jax.vmap(
+            lambda m, d, v, _up=up: one(m, d, v, _up),
+            in_axes=(0, 0, None)))
         mb = jnp.stack([np.asarray(masks[i]) for i in range(B)])
         db = jnp.stack([np.asarray(depths[i]) for i in range(B)])
         out = fn(mb, db, variables)
         _ = np.asarray(out.grasp_uv)
-        batched_fns[f"batch{B}_pallas1"] = (fn, mb, db, B)
-        print(f"compiled batch{B} pallas=True", flush=True)
+        batched_fns[f"batch{B}_pallas{int(up)}"] = (fn, mb, db, B)
+        print(f"compiled batch{B} pallas={up}", flush=True)
     except Exception as e:
-        print(f"batch{B} pallas=True FAILED: {type(e).__name__}: "
+        print(f"batch{B} pallas={up} FAILED: {type(e).__name__}: "
               f"{str(e)[:200]}", flush=True)
 
 # warm single
