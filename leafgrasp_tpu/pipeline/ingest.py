@@ -110,6 +110,15 @@ class GraspService:
         scales with chips over ICI; see parallel/spatial_frame.py).
         Requires frame height % data-axis == 0 and an isolation mode
         other than ``union_half``.
+    pipeline_depth : number of frames kept in flight on the device
+        before results are fetched (0 = synchronous, the default).
+        JAX dispatch is async, so depth N overlaps host work (ingest,
+        publish, visualization) with device compute of the next frames
+        -- single-chip throughput then matches pipelined dispatch
+        (bench.py methodology) instead of serialize-per-frame. Results
+        still publish in frame order, one frame late per depth; callers
+        drain with ``flush()``. Incompatible with VLA re-ranking (the
+        rerank needs the materialized result immediately).
     """
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -118,7 +127,13 @@ class GraspService:
                  on_result: Optional[Callable] = None,
                  min_interval_s: float = 0.1,
                  prefer_native_bus: bool = True,
-                 spatial_mesh=None):
+                 spatial_mesh=None,
+                 pipeline_depth: int = 0):
+        if pipeline_depth and hybrid_selector is not None:
+            raise ValueError("pipeline_depth requires hybrid_selector="
+                             "None (VLA re-rank is synchronous)")
+        self.pipeline_depth = pipeline_depth
+        self._inflight: List[tuple] = []
         self.cfg = cfg
         self.camera = cfg.camera
         self.cnn_variables = cnn_variables
@@ -195,8 +210,20 @@ class GraspService:
                     res = self._fn(mask16, depth,
                                    np.float32(cam.cx), np.float32(cam.cy),
                                    np.float32(cam.fx))
-                found = bool(res.found)
 
+            if self.pipeline_depth:
+                # async dispatch: `res` is an unmaterialized device
+                # future; finalize the oldest in-flight frame once the
+                # window is full (device computes the new frame while
+                # the host publishes the old one)
+                idx = self._frames
+                self._frames += 1
+                self._inflight.append((res, mask_stamp, depth_stamp, idx))
+                if len(self._inflight) > self.pipeline_depth:
+                    return self._finalize(*self._inflight.pop(0))
+                return None
+
+            found = bool(res.found)
             vla_choice = None
             if self.hybrid_selector is not None and found:
                 with self.timer.stage("vla_rerank"):
@@ -207,23 +234,39 @@ class GraspService:
                     with self.timer.stage("vla_reselect"):
                         res = self._reselect(mask, depth,
                                              vla_choice["leaf_id"])
-                        found = bool(res.found)
 
-        msg = None
-        if found:
-            msg = format_result_message(np.asarray(res.grasp_uv),
-                                        np.asarray(res.grasp_xyz),
-                                        np.asarray(res.pre_grasp_xyz))
-            if self.publish:
-                self.publish(msg)
-        out = dict(result=res, message=msg, found=found,
-                   degenerate=bool(res.degenerate), vla=vla_choice,
-                   mask_stamp=mask_stamp, depth_stamp=depth_stamp,
-                   frame_index=self._frames)
+        idx = self._frames
         self._frames += 1
-        if self.on_result:
-            self.on_result(out)
+        return self._finalize(res, mask_stamp, depth_stamp, idx,
+                              vla_choice)
+
+    def _finalize(self, res, mask_stamp, depth_stamp, frame_index,
+                  vla_choice=None):
+        """Materialize a frame result and publish it (host side)."""
+        with self.timer.stage("finalize"):
+            found = bool(res.found)
+            msg = None
+            if found:
+                msg = format_result_message(np.asarray(res.grasp_uv),
+                                            np.asarray(res.grasp_xyz),
+                                            np.asarray(res.pre_grasp_xyz))
+                if self.publish:
+                    self.publish(msg)
+            out = dict(result=res, message=msg, found=found,
+                       degenerate=bool(res.degenerate), vla=vla_choice,
+                       mask_stamp=mask_stamp, depth_stamp=depth_stamp,
+                       frame_index=frame_index)
+            if self.on_result:
+                self.on_result(out)
         return out
+
+    def flush(self) -> List[dict]:
+        """Finalize every in-flight frame (pipeline_depth > 0), in
+        frame order. Returns their result dicts."""
+        outs = []
+        while self._inflight:
+            outs.append(self._finalize(*self._inflight.pop(0)))
+        return outs
 
     def _vla_rerank(self, res, mask, depth):
         try:

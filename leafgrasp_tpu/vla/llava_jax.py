@@ -20,6 +20,7 @@ Scope notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -313,7 +314,8 @@ class LlavaJax(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, pixel_values=None, positions=None,
-                 mask=None, caches=None, image_features=None):
+                 mask=None, caches=None, image_features=None,
+                 logits_last_only: bool = False):
         """input_ids: (B, T); pixel_values: (B, H, W, 3) or None.
         Image-token rows of the text embedding are replaced by projected
         vision features (HF placeholder-splicing semantics);
@@ -367,6 +369,11 @@ class LlavaJax(nn.Module):
                                                         cache)
             new_caches.append(nc)
         x = _RMSNorm(c.rms_eps, name="norm")(x)
+        if logits_last_only:
+            # greedy decode only consumes the final position; skipping
+            # the other T-1 lm_head rows saves (T-1) x vocab logits in
+            # HBM (~400 MB for a batched 7B prefill) and their FLOPs
+            x = x[:, -1:]
         logits = nn.Dense(c.vocab_size, use_bias=False, name="lm_head")(x)
         return logits, (new_caches if caches is not None else None)
 
@@ -485,10 +492,16 @@ def attach_lora(model: "LlavaJax", variables: Dict, rng) -> Dict:
     return {"params": tu.unflatten_dict(flat)}
 
 
-def greedy_generate_llava(model: LlavaJax, variables, input_ids,
-                          pixel_values=None, image_features=None,
-                          max_new_tokens: int = 10) -> jnp.ndarray:
-    """Greedy decode with a prefill + single-token KV-cache loop."""
+@functools.partial(jax.jit,
+                   static_argnames=("model", "max_new_tokens"))
+def _generate_prefill(model: LlavaJax, variables, input_ids, pad,
+                      pixel_values, image_features,
+                      max_new_tokens: int):
+    """Prefill program: encode the prompt, fill the KV caches, return
+    the first greedy token. Compiled separately from the decode scan so
+    its large activation temps and the scan's double-buffered cache
+    carries never share one program's HBM budget (a fused program OOMs
+    a 7B batch-5 rerank on one 16 GB chip; split, it fits)."""
     c = model.cfg
     b, t = input_ids.shape
     total = t + max_new_tokens
@@ -500,35 +513,128 @@ def greedy_generate_llava(model: LlavaJax, variables, input_ids,
                jnp.zeros((b, total, c.kv_heads, c.head_dim), kv_dt),
                jnp.int32(0)) for _ in range(c.layers)]
 
-    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    positions = jnp.maximum(
+        jnp.arange(t)[None, :] - pad[:, None], 0)
     mask = jnp.tril(jnp.ones((t, total), bool))
     if c.sliding_window is not None:
+        # pad is a shared prefix, so absolute distance == pad-relative
         qi = jnp.arange(t)[:, None]
         ki = jnp.arange(total)[None, :]
         mask = mask & (qi - ki < c.sliding_window)
-    mask = mask[None, None]
+    mask = mask[None, None] \
+        & (jnp.arange(total)[None, None, None, :] >= pad[:, None, None, None])
     logits, caches = model.apply(variables, input_ids,
                                  pixel_values=pixel_values,
                                  image_features=image_features,
                                  positions=positions, mask=mask,
-                                 caches=caches)
+                                 caches=caches, logits_last_only=True)
     last = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    return last, caches
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "prompt_len",
+                                    "max_new_tokens"),
+                   donate_argnums=(2,))
+def _generate_decode(model: LlavaJax, variables, caches, last, pad,
+                     prompt_len: int, max_new_tokens: int):
+    """Decode program: the single-token KV-cache scan (caches donated)."""
+    c = model.cfg
+    b = last.shape[0]
+    t = prompt_len
+    total = t + max_new_tokens
 
     def step(carry, i):
         caches, tok = carry
         pos = t + i
-        positions = jnp.full((b, 1), pos, jnp.int32)
+        positions = (pos - pad)[:, None]
         key_idx = jnp.arange(total)
-        mask = key_idx <= pos
+        mask = (key_idx[None, :] <= pos) & (key_idx[None, :] >= pad[:, None])
         if c.sliding_window is not None:
-            mask = mask & (pos - key_idx < c.sliding_window)
-        mask = mask[None, None, None, :]
+            mask = mask & (pos - key_idx[None, :] < c.sliding_window)
+        mask = mask[:, None, None, :]
         logits, caches = model.apply(variables, tok[:, None],
                                      positions=positions, mask=mask,
                                      caches=caches)
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
         return (caches, nxt), tok
 
-    (_, _), toks = jax.lax.scan(step, (caches, last),
-                                jnp.arange(max_new_tokens))
-    return jnp.moveaxis(toks, 0, 1)
+    (caches, _), toks = jax.lax.scan(step, (caches, last),
+                                     jnp.arange(max_new_tokens))
+    # returning the final caches gives the donated inputs an aliasing
+    # target (otherwise donation is unusable and the carries double-buffer
+    # against the argument copies); callers discard them
+    return jnp.moveaxis(toks, 0, 1), caches
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "prompt_len",
+                                    "max_new_tokens"),
+                   donate_argnums=(2,))
+def _generate_decode_step(model: LlavaJax, variables, caches, last, pad,
+                          step_i, prompt_len: int, max_new_tokens: int):
+    """One decode token as its own program (caches donated + aliased).
+
+    Memory rationale: under a scan, XLA hoists the per-layer transposed
+    weight-layout copies its matvecs want OUT of the loop, keeping ~2 GB
+    of kernel copies alive for the whole decode -- which pushes a 7B
+    batch-5 rerank out of a 16 GB chip. Per-step programs make those
+    copies transient (freed layer by layer), trading ~2 ms/step of
+    re-copying; dispatch is async so the host loop pipelines.
+    """
+    c = model.cfg
+    t = prompt_len
+    total = t + max_new_tokens
+    pos = t + step_i
+    positions = (pos - pad)[:, None]
+    key_idx = jnp.arange(total)
+    mask = (key_idx[None, :] <= pos) & (key_idx[None, :] >= pad[:, None])
+    if c.sliding_window is not None:
+        mask = mask & (pos - key_idx[None, :] < c.sliding_window)
+    mask = mask[:, None, None, :]
+    logits, caches = model.apply(variables, last[:, None],
+                                 positions=positions, mask=mask,
+                                 caches=caches)
+    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    return nxt, caches
+
+
+def greedy_generate_llava(model: LlavaJax, variables, input_ids,
+                          pixel_values=None, image_features=None,
+                          max_new_tokens: int = 10,
+                          pad_lens=None,
+                          decode_mode: str = "scan") -> jnp.ndarray:
+    """Greedy decode: a prefill program + a single-token KV-cache decode
+    (two separately-jitted programs; see _generate_prefill for why).
+
+    pad_lens: optional (B,) int32 LEFT-pad lengths for batched rows of
+    unequal prompt length (right-aligned real tokens). Positions are
+    pad-relative and attention never reads pad-slot keys, so every row
+    decodes exactly as it would alone -- this is how the VLA scorer
+    batches its candidate prompts into ONE weight pass (decode is
+    weight-HBM-bound, so batch-B costs ~the same as batch-1).
+
+    decode_mode: "scan" fuses the decode loop into one program (fastest
+    steady state); "steps" runs one program per token, keeping weight-
+    layout copies transient -- required to fit a batched 7B rerank next
+    to 14 GB of weights on one 16 GB chip (see _generate_decode_step).
+    """
+    b, t = input_ids.shape
+    if pad_lens is None:
+        pad = jnp.zeros((b,), jnp.int32)
+    else:
+        pad = jnp.asarray(pad_lens, jnp.int32)
+    last, caches = _generate_prefill(model, variables, input_ids, pad,
+                                     pixel_values, image_features,
+                                     max_new_tokens)
+    if decode_mode == "steps":
+        toks = [last]
+        for i in range(max_new_tokens - 1):
+            last, caches = _generate_decode_step(
+                model, variables, caches, last, pad,
+                jnp.int32(i), t, max_new_tokens)
+            toks.append(last)
+        return jnp.stack(toks, axis=1)
+    toks, _ = _generate_decode(model, variables, caches, last, pad,
+                               t, max_new_tokens)
+    return toks

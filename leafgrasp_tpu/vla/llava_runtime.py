@@ -76,36 +76,77 @@ class LlavaJaxScorer:
     """
 
     def __init__(self, model, variables, tokenizer,
-                 max_new_tokens: int = 10):
+                 max_new_tokens: int = 10,
+                 max_batch: int | None = None,
+                 decode_mode: str = "scan"):
+        """max_batch: cap on candidates per generate call (None = all
+        at once). decode_mode: "scan" (fused decode loop) or "steps"
+        (one program per token). For a 7B model on a single 16 GB chip
+        use decode_mode="steps" -- the fused scan's hoisted weight-
+        layout copies do not fit next to 14.1 GB of weights at batch 5
+        (PERF.md 'VLA serving': batched rerank 549 ms vs 1.28 s)."""
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.max_new_tokens = max_new_tokens
+        self.max_batch = max_batch
+        self.decode_mode = decode_mode
 
-    def _encode(self, prompt: str, with_image: bool) -> np.ndarray:
+    def _encode(self, prompt: str, with_image: bool) -> list:
         ids = list(self.tokenizer.encode(prompt))
         if with_image:
             c = self.model.cfg
             ids = [c.image_token_index] * c.num_patches + ids
-        return np.asarray([ids], np.int32)
+        return ids
 
     def score(self, image, candidates: List[dict],
               instruction: str) -> List[float]:
-        import jax.numpy as jnp
-        from leafgrasp_tpu.vla.llava_jax import greedy_generate_llava
+        """Score every candidate in ONE batched generate.
 
-        px = None
+        The reference loops the 7B model once per candidate
+        (llava_processor.py:78-101); batch-1 decode is weight-HBM-bound,
+        so left-pad-batching the 5 prompts costs ~one candidate's
+        latency. The shared image encodes once through the vision tower
+        and its features broadcast across rows. Per-candidate results
+        are bit-equal to sequential scoring (rows never attend across
+        the batch or into pad slots).
+        """
+        import jax.numpy as jnp
+        from leafgrasp_tpu.vla.llava_jax import _VisionProject
+
+        feats = None
         if image is not None:
             px = jnp.asarray(preprocess_image(
                 image, self.model.cfg.image_size))
-        out = []
-        for cand in candidates:
-            prompt = build_prompt(cand, instruction)
-            ids = self._encode(prompt, with_image=px is not None)
-            gen = greedy_generate_llava(self.model, self.variables,
-                                        jnp.asarray(ids),
-                                        pixel_values=px,
-                                        max_new_tokens=self.max_new_tokens)
-            text = self.tokenizer.decode(np.asarray(gen)[0].tolist())
-            out.append(parse_score(text))
+            f = _VisionProject(self.model.cfg).apply(self.variables, px)
+            feats = f  # (1, P, hidden), broadcast below
+        rows = [self._encode(build_prompt(c, instruction),
+                             with_image=image is not None)
+                for c in candidates]
+        step = self.max_batch or len(rows)
+        out: List[float] = []
+        for lo in range(0, len(rows), step):
+            out.extend(self._score_batch(rows[lo:lo + step], feats))
         return out
+
+    def _score_batch(self, rows, feats) -> List[float]:
+        import jax.numpy as jnp
+        from leafgrasp_tpu.vla.llava_jax import greedy_generate_llava
+        b = len(rows)
+        t = max(len(r) for r in rows)
+        ids = np.zeros((b, t), np.int32)
+        pad = np.zeros((b,), np.int32)
+        for i, r in enumerate(rows):
+            pad[i] = t - len(r)
+            ids[i, pad[i]:] = r
+        if feats is not None:
+            feats = jnp.broadcast_to(feats, (b,) + feats.shape[1:])
+        gen = greedy_generate_llava(self.model, self.variables,
+                                    jnp.asarray(ids),
+                                    image_features=feats,
+                                    max_new_tokens=self.max_new_tokens,
+                                    pad_lens=jnp.asarray(pad),
+                                    decode_mode=self.decode_mode)
+        gen = np.asarray(gen)
+        return [parse_score(self.tokenizer.decode(gen[i].tolist()))
+                for i in range(b)]

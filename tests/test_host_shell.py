@@ -313,3 +313,36 @@ def test_grasp_service_spatial_mesh():
         outs.append(svc.process_pending(force=True))
     assert outs[0] is not None and outs[0]["found"]
     assert outs[0]["message"] == outs[1]["message"]
+
+
+def test_grasp_service_pipelined_dispatch():
+    """pipeline_depth=2: results trail dispatch by two frames, publish
+    in frame order, and flush() drains the window; messages match the
+    synchronous service."""
+    mask, depth = _scene()
+    frames = [(np.roll(mask, i, axis=1), np.roll(depth, i, axis=1))
+              for i in range(4)]
+
+    sync_msgs = []
+    svc_sync = GraspService(CFG, publish=sync_msgs.append,
+                            min_interval_s=0.0)
+    for m, d in frames:
+        svc_sync.process_frame(m, d)
+
+    msgs = []
+    results = []
+    svc = GraspService(CFG, publish=msgs.append, on_result=results.append,
+                       min_interval_s=0.0, pipeline_depth=2)
+    outs = [svc.process_frame(m, d) for m, d in frames]
+    assert outs[0] is None and outs[1] is None          # window filling
+    assert outs[2]["frame_index"] == 0
+    assert outs[3]["frame_index"] == 1
+    tail = svc.flush()
+    assert [t["frame_index"] for t in tail] == [2, 3]
+    assert not svc._inflight
+    assert [r["frame_index"] for r in results] == [0, 1, 2, 3]
+    assert msgs == sync_msgs
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        GraspService(CFG, hybrid_selector=object(), pipeline_depth=1)

@@ -380,3 +380,108 @@ def test_bf16_generate_runs(tiny_pair):
     # bf16 logits may legitimately diverge from f32 argmax on near-ties;
     # just require valid token ids
     assert (out >= 0).all() and (out < bcfg.vocab_size).all()
+
+
+def test_padded_batch_generate_equals_sequential(tiny_pair):
+    """Left-pad-batched generation must reproduce each row's solo
+    greedy decode exactly (positions pad-relative, pad keys masked)."""
+    import jax.numpy as jnp
+    _, model, variables, cfg = tiny_pair
+    rng = np.random.default_rng(3)
+    px = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    rows = [[1, 100, 100, 100, 100, 5, 9, 12, 7],
+            [1, 100, 100, 100, 100, 8, 3],
+            [1, 100, 100, 100, 100, 22, 17, 30, 41, 6]]
+    solo = []
+    for r in rows:
+        g = greedy_generate_llava(
+            model, variables, jnp.asarray([r], jnp.int32),
+            pixel_values=jnp.asarray(px), max_new_tokens=5)
+        solo.append(np.asarray(g)[0])
+    t = max(len(r) for r in rows)
+    ids = np.zeros((len(rows), t), np.int32)
+    pad = np.zeros((len(rows),), np.int32)
+    for i, r in enumerate(rows):
+        pad[i] = t - len(r)
+        ids[i, pad[i]:] = r
+    batched = greedy_generate_llava(
+        model, variables, jnp.asarray(ids),
+        pixel_values=jnp.asarray(np.repeat(px, len(rows), axis=0)),
+        max_new_tokens=5, pad_lens=jnp.asarray(pad))
+    np.testing.assert_array_equal(np.asarray(batched), np.stack(solo))
+
+
+def test_scorer_batched_matches_sequential(tiny_pair):
+    """LlavaJaxScorer's one-pass batched scoring must return the same
+    decoded scores as candidate-at-a-time generation."""
+    import jax.numpy as jnp
+    from leafgrasp_tpu.vla.llava_runtime import (LlavaJaxScorer,
+                                                 preprocess_image)
+
+    class _VarTok:
+        """Variable-length prompts + token-dependent decode so a
+        batching bug actually changes the output."""
+
+        def encode(self, text):
+            return [1] + [b % 90 + 2 for b in text.encode("utf-8")
+                          ][:len(text) % 13 + 4]
+
+        def decode(self, ids):
+            return f"0.{abs(sum(ids)) % 100:02d}"
+
+    _, model, variables, cfg = tiny_pair
+    tok = _VarTok()
+    scorer = LlavaJaxScorer(model, variables, tok, max_new_tokens=4)
+    cands = [dict(x=3, y=4, geometric_score=0.9),
+             dict(x=91, y=200, geometric_score=0.41),
+             dict(x=7, y=7, geometric_score=0.77)]
+    img = np.random.default_rng(1).random((50, 60, 3)).astype(np.float32)
+    batched = scorer.score(img, cands, "pick the best leaf")
+
+    from leafgrasp_tpu.vla.processor import build_prompt, parse_score
+    px = jnp.asarray(preprocess_image(img, cfg.image_size))
+    seq = []
+    for c in cands:
+        ids = scorer._encode(build_prompt(c, "pick the best leaf"), True)
+        g = greedy_generate_llava(model, variables,
+                                  jnp.asarray([ids], jnp.int32),
+                                  pixel_values=px, max_new_tokens=4)
+        seq.append(parse_score(tok.decode(np.asarray(g)[0].tolist())))
+    assert batched == seq
+
+
+def test_scorer_max_batch_subbatching(tiny_pair):
+    """max_batch=2 must split 3 candidates into 2+1 generates with the
+    same scores as the all-at-once batch."""
+    from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
+
+    class _Tok:
+        def encode(self, text):
+            return [1] + [b % 90 + 2 for b in text.encode()][:9]
+
+        def decode(self, ids):
+            return f"0.{abs(sum(ids)) % 100:02d}"
+
+    _, model, variables, cfg = tiny_pair
+    cands = [dict(x=i, y=i * 2, geometric_score=0.5 + 0.1 * i)
+             for i in range(3)]
+    img = np.random.default_rng(2).random((30, 30, 3)).astype(np.float32)
+    full = LlavaJaxScorer(model, variables, _Tok(),
+                          max_new_tokens=3).score(img, cands, "go")
+    sub = LlavaJaxScorer(model, variables, _Tok(), max_new_tokens=3,
+                         max_batch=2).score(img, cands, "go")
+    assert full == sub
+
+
+def test_decode_mode_steps_equals_scan(tiny_pair):
+    """Per-step decode programs must emit the same tokens as the fused
+    scan (same caches, masks, positions)."""
+    import jax.numpy as jnp
+    _, model, variables, cfg = tiny_pair
+    ids = jnp.asarray([[1, 5, 7, 9], [0, 1, 8, 3]], jnp.int32)
+    pads = jnp.asarray([0, 1], jnp.int32)
+    a = greedy_generate_llava(model, variables, ids, max_new_tokens=5,
+                              pad_lens=pads, decode_mode="scan")
+    b = greedy_generate_llava(model, variables, ids, max_new_tokens=5,
+                              pad_lens=pads, decode_mode="steps")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -91,6 +91,35 @@ def main():
         tok_s = 30.0 / max(longer - per_cand, 1e-9)
         print(f"decode rate ~{tok_s:.1f} tok/s "
               f"(from +30-token delta)", flush=True)
+
+        # batched rerank: all 5 candidates in ONE left-padded generate
+        # (the LlavaJaxScorer serving path). decode_mode="steps" keeps
+        # the decode's weight-layout copies transient -- the fused scan
+        # cannot fit B=5 temps next to 14 GB of weights on one chip.
+        idsb = jnp.asarray(np.repeat(np.asarray(ids), n_candidates, 0))
+        pad = jnp.zeros((n_candidates,), jnp.int32)
+        pxb = jnp.zeros((n_candidates, cfg.image_size, cfg.image_size, 3),
+                        jnp.float32)
+
+        def genb(v, i, p, pl):
+            # no outer jit: prefill + per-step decode programs must keep
+            # separate HBM budgets
+            return greedy_generate_llava(model, v, i, pixel_values=p,
+                                         max_new_tokens=n_new,
+                                         pad_lens=pl,
+                                         decode_mode="steps")
+
+        out = genb(variables, idsb, pxb, pad)
+        _ = np.asarray(out)
+        bestb = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = genb(variables, idsb, pxb, pad)
+            _ = np.asarray(out)
+            bestb = min(bestb, time.perf_counter() - t0)
+        print(f"BATCHED 5-candidate rerank: {bestb * 1e3:.0f} ms/frame "
+              f"({1.0 / bestb:.2f} frames/s, "
+              f"{best / bestb:.1f}x vs sequential)", flush=True)
     except Exception as e:
         print(f"7B-dims failed ({type(e).__name__}: {str(e)[:200]})",
               flush=True)
