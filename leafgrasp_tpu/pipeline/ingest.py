@@ -110,6 +110,8 @@ class GraspService:
         scales with chips over ICI; see parallel/spatial_frame.py).
         Requires frame height % data-axis == 0 and an isolation mode
         other than ``union_half``.
+    record_path : optional path; every processed (mask, depth, stamp)
+        is appended to a native frame log (io/framelog.py) for replay.
     pipeline_depth : number of frames kept in flight on the device
         before results are fetched (0 = synchronous, the default).
         JAX dispatch is async, so depth N overlaps host work (ingest,
@@ -128,12 +130,18 @@ class GraspService:
                  min_interval_s: float = 0.1,
                  prefer_native_bus: bool = True,
                  spatial_mesh=None,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0,
+                 record_path: Optional[str] = None):
         if pipeline_depth and hybrid_selector is not None:
             raise ValueError("pipeline_depth requires hybrid_selector="
                              "None (VLA re-rank is synchronous)")
         self.pipeline_depth = pipeline_depth
         self._inflight: List[tuple] = []
+        self._recorder = None
+        if record_path is not None:
+            from leafgrasp_tpu.io.framelog import FrameLogWriter
+            self._recorder = FrameLogWriter(record_path, cfg.frame.height,
+                                            cfg.frame.width)
         self.cfg = cfg
         self.camera = cfg.camera
         self.cnn_variables = cnn_variables
@@ -200,6 +208,10 @@ class GraspService:
         # ship the mask as int16 (the wire format) -- the jitted pipeline
         # upcasts on device; halves the mask's host->HBM transfer
         mask16 = np.ascontiguousarray(mask, np.int16)
+        if self._recorder is not None:
+            # session recording (framelog replaces the reference's loose
+            # PNG/.npy dumps); replay with io.framelog.FrameLogReader
+            self._recorder.append(mask16, depth, mask_stamp)
         with self.timer.stage("frame_total"):
             with self.timer.stage("select_grasp"):
                 if self.cnn_variables is not None:
@@ -302,6 +314,9 @@ class GraspService:
 
     def stop(self):
         self._stop.set()
+        if self._recorder is not None:
+            self._recorder.close()
+            self._recorder = None
 
     def stats(self) -> dict:
         return dict(bus=self.bus.stats(), frames=self._frames,

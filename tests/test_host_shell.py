@@ -346,3 +346,79 @@ def test_grasp_service_pipelined_dispatch():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         GraspService(CFG, hybrid_selector=object(), pipeline_depth=1)
+
+
+# --------------------------------------------------------------- framelog --
+
+def _roundtrip_framelog(tmp_path, write_native, read_native):
+    from leafgrasp_tpu.io.framelog import (FrameLogWriter, FrameLogReader,
+                                           native_available)
+    if (write_native or read_native) and not native_available():
+        pytest.skip("native framelog unavailable")
+    rng = np.random.default_rng(0)
+    h, w, n = 24, 36, 5
+    masks = rng.integers(0, 7, (n, h, w)).astype(np.int16)
+    depths = rng.random((n, h, w)).astype(np.float32)
+    p = str(tmp_path / "session.lflg")
+    with FrameLogWriter(p, h, w, prefer_native=write_native) as wr:
+        for i in range(n):
+            wr.append(masks[i], depths[i], stamp_us=1000 + i)
+        assert len(wr) == n
+    with FrameLogReader(p, prefer_native=read_native) as rd:
+        assert len(rd) == n and (rd.h, rd.w) == (h, w)
+        for i in range(n):
+            m, d, st = rd.frame(i)
+            np.testing.assert_array_equal(m, masks[i])
+            np.testing.assert_array_equal(d, depths[i])
+            assert st == 1000 + i
+
+
+@pytest.mark.parametrize("write_native,read_native",
+                         [(True, True), (False, False),
+                          (True, False), (False, True)])
+def test_framelog_roundtrip_and_interop(tmp_path, write_native,
+                                        read_native):
+    """Native and numpy implementations must be byte-interoperable."""
+    _roundtrip_framelog(tmp_path, write_native, read_native)
+
+
+def test_framelog_torn_final_record_ignored(tmp_path):
+    """A crash mid-append (torn last record) must not corrupt the log:
+    the reader sees only the complete records."""
+    from leafgrasp_tpu.io.framelog import FrameLogWriter, FrameLogReader
+    h, w = 16, 20
+    p = str(tmp_path / "torn.lflg")
+    m = np.ones((h, w), np.int16)
+    d = np.ones((h, w), np.float32)
+    with FrameLogWriter(p, h, w) as wr:
+        wr.append(m, d, 1)
+        wr.append(m, d, 2)
+    with open(p, "ab") as f:
+        f.write(b"\x00" * 100)          # partial third record
+    with FrameLogReader(p) as rd:
+        assert len(rd) == 2
+        assert rd.frame(1)[2] == 2
+
+
+def test_grasp_service_record_and_replay(tmp_path):
+    """GraspService(record_path=...) logs every processed frame; a
+    replayed session reproduces the original published messages."""
+    mask, depth = _scene()
+    p = str(tmp_path / "rec.lflg")
+    live_msgs = []
+    svc = GraspService(CFG, publish=live_msgs.append, min_interval_s=0.0,
+                       record_path=p)
+    for i in range(3):
+        svc.process_frame(np.roll(mask, i, axis=1),
+                          np.roll(depth, i, axis=1), mask_stamp=i)
+    svc.stop()
+
+    from leafgrasp_tpu.io.framelog import FrameLogReader
+    replay_msgs = []
+    svc2 = GraspService(CFG, publish=replay_msgs.append,
+                        min_interval_s=0.0)
+    with FrameLogReader(p) as rd:
+        assert len(rd) == 3
+        for m, d, st in rd:
+            svc2.process_frame(np.asarray(m), np.asarray(d), mask_stamp=st)
+    assert replay_msgs == live_msgs
