@@ -45,18 +45,42 @@ def run_vla_sweep(out_dir: str,
                   experiments=PRODUCTION_EXPERIMENTS,
                   num_train: int = 24, num_eval: int = 8,
                   model_cfg: Optional[VLAModelConfig] = None,
-                  seed: int = 0, log_fn=None) -> List[Dict]:
+                  seed: int = 0, log_fn=None,
+                  pretrain_epochs: int = 0) -> List[Dict]:
     """Train + evaluate each experiment; write per-experiment artifacts.
 
     model_cfg: base LM size (defaults small enough for CI; scale up for
     real runs). LoRA fields are overridden per experiment.
+
+    pretrain_epochs > 0 first pretrains ONE shared base (full params) on
+    the training corpus and grafts it into every LoRA experiment -- the
+    analogue of the reference starting each LoRA config from the same
+    pretrained LLaVA. With a random base, LoRA-only training learns only
+    the answer format (chance top-1); see VLATrainer.pretrain.
     """
+    from leafgrasp_tpu.vla.lora import graft_base_params
+
     out_dir = os.path.expanduser(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     base = model_cfg or VLAModelConfig()
 
     train_set = make_synthetic_vla_dataset(num_train, seed=seed)
     eval_set = make_synthetic_vla_dataset(num_eval, seed=seed + 1)
+
+    pretrained = None
+    if pretrain_epochs > 0:
+        base_trainer = VLATrainer(
+            cfg=dataclasses.replace(base, lora_rank=0), seed=seed)
+        base_trainer.pretrain(train_set, epochs=pretrain_epochs,
+                              log_fn=log_fn)
+        pretrained = base_trainer.variables["params"]
+        # the adapters are deltas ON this base -- ship it alongside them
+        import numpy as np
+        import flax.traverse_util as tu
+        flat = {"/".join(k): np.asarray(v)
+                for k, v in tu.flatten_dict(pretrained).items()}
+        np.savez_compressed(os.path.join(out_dir, "pretrained_base.npz"),
+                            **flat)
 
     results = []
     for exp in experiments:
@@ -65,6 +89,9 @@ def run_vla_sweep(out_dir: str,
                                   lora_dropout=exp.lora_dropout)
         trainer = VLATrainer(cfg=cfg, learning_rate=exp.learning_rate,
                              seed=seed)
+        if pretrained is not None:
+            trainer.variables = {"params": graft_base_params(
+                trainer.variables["params"], pretrained)}
         fit = trainer.fine_tune(train_set, epochs=exp.epochs,
                                 log_fn=log_fn)
         metrics = trainer.evaluate(eval_set)
@@ -74,6 +101,7 @@ def run_vla_sweep(out_dir: str,
         trainer.save_adapter(os.path.join(exp_dir, "adapter.npz"))
         history = {
             "experiment": exp.name,
+            "pretrain_epochs": pretrain_epochs,
             "params": dataclasses.asdict(exp),
             "loss_history": fit["loss_history"],
             "final_loss": fit["final_loss"],

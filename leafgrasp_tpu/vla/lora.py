@@ -13,6 +13,7 @@ import jax
 import flax.linen as nn
 
 __all__ = ["LoRADense", "lora_mask", "merge_lora_params",
+           "graft_base_params",
            "extract_lora_params"]
 
 
@@ -59,6 +60,29 @@ def extract_lora_params(params):
     lora = {k: v for k, v in flat.items()
             if k[-1] in ("lora_a", "lora_b")}
     return tu.unflatten_dict(lora)
+
+
+def graft_base_params(lora_params, plain_params):
+    """Copy an adapter-free param tree into the frozen-base slots of a
+    LoRA-wrapped tree (LoRADense nests the kernel under 'base'); fresh
+    lora_a/lora_b leaves are kept. This is how a pretrained base is
+    carried into each LoRA experiment -- the tiny-model analogue of
+    loading the pretrained LLaVA before attaching adapters."""
+    import flax.traverse_util as tu
+    flat_l = dict(tu.flatten_dict(lora_params))
+    flat_p = dict(tu.flatten_dict(plain_params))
+    out = {}
+    for k, v in flat_l.items():
+        if k[-1] in ("lora_a", "lora_b"):
+            out[k] = v
+            continue
+        # the plain tree may or may not nest kernels under 'base'
+        # (lm.py wraps projections in LoRADense even at rank 0)
+        pk = k if k in flat_p else tuple(p for p in k if p != "base")
+        if pk not in flat_p:
+            raise KeyError(f"pretrained tree missing {pk}")
+        out[k] = flat_p[pk]
+    return tu.unflatten_dict(out)
 
 
 def merge_lora_params(params, adapter):

@@ -182,8 +182,10 @@ def test_vla_sweep_two_experiments(tmp_path):
     exps = [dataclasses.replace(e, epochs=1)
             for e in PRODUCTION_EXPERIMENTS[:2]]
     results = run_vla_sweep(str(tmp_path), experiments=exps,
-                            num_train=4, num_eval=2, model_cfg=tiny)
+                            num_train=4, num_eval=2, model_cfg=tiny,
+                            pretrain_epochs=1)
     assert len(results) == 2
+    assert all(r["pretrain_epochs"] == 1 for r in results)
     for e in exps:
         d = tmp_path / e.name
         assert (d / "adapter.npz").exists()
@@ -191,6 +193,23 @@ def test_vla_sweep_two_experiments(tmp_path):
         assert (d / "adapter.npz.adapter_config.json").exists()
     assert (tmp_path / "sweep_summary.json").exists()
     assert all(np.isfinite(r["final_loss"]) for r in results)
+
+    # serving reconstruction: base + adapter == the trained params
+    from leafgrasp_tpu.vla.trainer import VLATrainer
+    import flax.traverse_util as tu
+    import jax as _jax
+    exp = exps[0]
+    cfg = dataclasses.replace(tiny, lora_rank=exp.lora_rank,
+                              lora_alpha=exp.lora_alpha,
+                              lora_dropout=exp.lora_dropout)
+    fresh = VLATrainer(cfg=cfg, seed=0)
+    fresh.load_pretrained_base(str(tmp_path / "pretrained_base.npz"))
+    fresh.load_adapter(str(tmp_path / exp.name / "adapter.npz"))
+    ev = fresh.evaluate(
+        __import__("leafgrasp_tpu.vla.trainer",
+                   fromlist=["make_synthetic_vla_dataset"]
+                   ).make_synthetic_vla_dataset(2, seed=9))
+    assert 0.0 <= ev["top1_accuracy"] <= 1.0
 
 
 # ------------------------------------------------------------ config IO --
@@ -236,3 +255,21 @@ def test_shipped_configs_load():
     for p in paths:
         cfg = load_config(p)
         hash(cfg)   # frozen tree stays a valid jit static arg
+
+
+def test_collect_from_framelog_session(tmp_path):
+    """A recorded framelog session feeds the teacher collector directly
+    (the record -> self-supervised-collection loop, SURVEY.md 3.5)."""
+    from leafgrasp_tpu.io.framelog import FrameLogWriter, FrameLogReader
+    p = str(tmp_path / "sess.lflg")
+    with FrameLogWriter(p, H, W) as wr:
+        for seed in (3, 5):
+            mask, depth = _scene(seed)
+            wr.append(mask.astype(np.int16), depth, seed)
+    collector = GraspDataCollector(str(tmp_path / "data"),
+                                   patch_size=32)
+    with FrameLogReader(p) as rd:
+        used = collect_from_frames(((m, d) for m, d, _ in rd),
+                                   collector, CX, CY, F, cfg=CFG)
+    assert used == 2
+    assert len(collector.samples) > 0

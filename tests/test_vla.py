@@ -267,3 +267,36 @@ def test_synthetic_dataset_and_spearman():
     assert s["ranking"][0] == int(np.argmax(gt))
     assert spearman_correlation([1, 2, 3], [1, 2, 3]) == 1.0
     assert spearman_correlation([1, 2, 3], [3, 2, 1]) == -1.0
+
+
+def test_graft_base_params_roundtrip():
+    """Pretrained plain params must land in every frozen-base slot of a
+    LoRA-wrapped tree, with fresh adapters preserved."""
+    import jax
+    import numpy as np
+    from leafgrasp_tpu.vla.lm import VLAModelConfig, init_vla
+    from leafgrasp_tpu.vla.lora import graft_base_params, lora_mask
+    plain_cfg = VLAModelConfig(dim=32, n_layers=1, n_heads=2,
+                               n_kv_heads=1, mlp_hidden=64,
+                               vision_tokens=2, vision_patch=16)
+    import dataclasses
+    lora_cfg = dataclasses.replace(plain_cfg, lora_rank=4)
+    _, plain = init_vla(jax.random.PRNGKey(0), plain_cfg)
+    _, lora = init_vla(jax.random.PRNGKey(1), lora_cfg)
+    grafted = graft_base_params(lora["params"], plain["params"])
+    import flax.traverse_util as tu
+    flat_g = dict(tu.flatten_dict(grafted))
+    flat_p = dict(tu.flatten_dict(plain["params"]))
+    flat_l = dict(tu.flatten_dict(lora["params"]))
+    n_base = n_lora = 0
+    for k, v in flat_g.items():
+        if k[-1] in ("lora_a", "lora_b"):
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(flat_l[k]))
+            n_lora += 1
+        else:
+            pk = k if k in flat_p else tuple(p for p in k if p != "base")
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(flat_p[pk]))
+            n_base += 1
+    assert n_lora > 0 and n_base > 0
