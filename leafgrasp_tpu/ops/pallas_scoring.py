@@ -33,7 +33,7 @@ _C = 128
 
 # scalar vector layout
 (_S_CX, _S_CY, _S_F, _S_SIN, _S_COS, _S_MAXSDF, _S_MAXCLOSE, _S_MAXWIDE,
- _S_H, _S_W) = range(10)
+ _S_H, _S_W, _S_ROW0) = range(11)
 _NS = 16  # padded scalar count
 
 
@@ -55,9 +55,13 @@ def _kernel(scal_ref, din_ref, dout_ref, dclose_ref, dwide_ref,
     max_wide = scal_ref[0, _S_MAXWIDE]
     h = scal_ref[0, _S_H]
     w = scal_ref[0, _S_W]
+    row0 = scal_ref[0, _S_ROW0]
 
-    ys = (i * _R + jax.lax.broadcasted_iota(jnp.int32, (_R, _C), 0)
-          ).astype(jnp.float32)
+    # ys in FRAME coordinates (row0 > 0 when the caller passes a
+    # row-sharded local block; see parallel/spatial_frame.py)
+    ys = (row0
+          + (i * _R + jax.lax.broadcasted_iota(jnp.int32, (_R, _C), 0)
+             ).astype(jnp.float32))
     xs = (j * _C + jax.lax.broadcasted_iota(jnp.int32, (_R, _C), 1)
           ).astype(jnp.float32)
 
@@ -126,7 +130,9 @@ def _kernel(scal_ref, din_ref, dout_ref, dclose_ref, dwide_ref,
 def fused_score_maps(din, dout, dclose, dwide, grad_mag, leaf_mask, stem,
                      camera_cx, camera_cy, f_norm, angle, angle_valid,
                      cfg: GraspScoringConfig = GraspScoringConfig(),
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     row0=None, frame_height: int | None = None,
+                     max_sdf=None, max_close=None, max_wide=None):
     if interpret is None:
         # Mosaic only lowers on TPU; interpret elsewhere (tests on the
         # virtual CPU mesh). 'axon' is the tunnelled TPU backend.
@@ -136,8 +142,13 @@ def fused_score_maps(din, dout, dclose, dwide, grad_mag, leaf_mask, stem,
     Returns the 9 maps in grasp_scorer order:
     (sdf, approach, flatness, isolation, distance, accessibility,
      stem, traditional, valid).
+
+    row0 / frame_height / max_* : row-sharded callers pass the shard's
+    frame-row offset, the full frame height, and globally-reduced field
+    normalizers; defaults reproduce the single-device computation.
     """
     h, w = din.shape
+    fh = h if frame_height is None else frame_height
     hp = -(-h // _R) * _R
     wp = -(-w // _C) * _C
 
@@ -148,9 +159,13 @@ def fused_score_maps(din, dout, dclose, dwide, grad_mag, leaf_mask, stem,
         return jnp.pad(jnp.asarray(x, jnp.float32),
                        ((0, hp - h), (0, wp - w)))
 
-    max_sdf = jnp.maximum(jnp.max(jnp.abs(din - dout)), 1e-30)
-    max_close = jnp.max(dclose)
-    max_wide = jnp.max(dwide)
+    if max_sdf is None:
+        max_sdf = jnp.max(jnp.abs(din - dout))
+    max_sdf = jnp.maximum(max_sdf, 1e-30)
+    if max_close is None:
+        max_close = jnp.max(dclose)
+    if max_wide is None:
+        max_wide = jnp.max(dwide)
 
     sin_a = jnp.where(angle_valid, jnp.sin(angle), 0.0)
     cos_a = jnp.where(angle_valid, jnp.cos(angle), 0.0)
@@ -168,8 +183,11 @@ def fused_score_maps(din, dout, dclose, dwide, grad_mag, leaf_mask, stem,
     scalars = scalars.at[0, _S_MAXSDF].set(max_sdf)
     scalars = scalars.at[0, _S_MAXCLOSE].set(max_close)
     scalars = scalars.at[0, _S_MAXWIDE].set(max_wide)
-    scalars = scalars.at[0, _S_H].set(jnp.float32(h))
+    scalars = scalars.at[0, _S_H].set(jnp.float32(fh))
     scalars = scalars.at[0, _S_W].set(jnp.float32(w))
+    scalars = scalars.at[0, _S_ROW0].set(
+        jnp.float32(0.0) if row0 is None
+        else jnp.asarray(row0, jnp.float32))
 
     field_spec = pl.BlockSpec((_R, _C), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)

@@ -218,9 +218,14 @@ def _global_extremum(val, flat_idx, ax: str, mode: str):
 # ---------------------------------------------------------------------------
 
 def make_sharded_frame_fn(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
-                          with_cnn: bool = False, axis: str = "data"):
+                          with_cnn: bool = False, axis: str = "data",
+                          use_pallas: bool | None = None):
     """Build ``fn(mask_ids, depth, cx, cy, f[, cnn_variables])`` with the
     frame's rows sharded over ``mesh.shape[axis]`` devices.
+
+    use_pallas routes the per-pixel combination through the fused Pallas
+    scoring kernel on each shard's row block (None = on for TPU
+    backends, off elsewhere -- same default as make_frame_fn).
 
     Semantics match ``pipeline.frame.select_grasp`` (CV-only when
     ``with_cnn=False``) with these documented bounds:
@@ -233,6 +238,8 @@ def make_sharded_frame_fn(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
     * float fields differ from the unsharded program only by psum
       reduction order.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
     n_shards = mesh.shape[axis]
     h, w = cfg.frame.height, cfg.frame.width
     if h % n_shards:
@@ -316,36 +323,69 @@ def make_sharded_frame_fn(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
         sdf_raw = din - dout
         norm_max = jax.lax.pmax(jnp.max(jnp.abs(sdf_raw)), ax)
         orient = mask_orientation(leaf, reduce_fn=psum, row0=row0)
-
-        sdf = sdf_score_map(leaf, cx, cy, cfg.grasp, dist_inside=din,
-                            dist_outside=dout, row0=row0,
-                            norm_max=norm_max, orientation=orient)
-        approach = approach_score_map(leaf, cx, cy, f, row0=row0)
-        flatness = _conv_halo(
-            local_depth * mf, cfg.grasp.gaussian_kernel_size // 2 + 1,
-            lambda x: flatness_from_depth(x, cfg.grasp.flatness_gradient_scale,
-                                          cfg.grasp.gaussian_kernel_size),
-            ax, n_shards)
-        isolation = isolation_score_map(
-            leaf, all_mask, cfg.grasp, dist_close=dclose, dist_wide=dwide,
-            row0=row0, frame_height=h,
-            close_max=jax.lax.pmax(jnp.max(dclose), ax),
-            wide_max=jax.lax.pmax(jnp.max(dwide), ax))
-        distance = din * mf
-        accessibility = accessibility_score_map(leaf, cx, cy, cfg.grasp,
-                                                row0=row0, frame_height=h)
+        close_max = jax.lax.pmax(jnp.max(dclose), ax)
+        wide_max = jax.lax.pmax(jnp.max(dwide), ax)
         stem = stem_penalty_map(
             leaf, cfg.grasp, row0=row0, frame_height=h,
             dilate_fn=lambda m, k: _dilate_sharded(m, k, ax, n_shards))
 
-        traditional = combine_traditional(approach, sdf, flatness,
-                                          accessibility, stem, cfg.grasp)
-        valid = valid_region_mask(distance, leaf, stem, cfg.grasp)
-        scores = GraspScores(
-            sdf_score=sdf, approach_score=approach, flatness_map=flatness,
-            isolation_map=isolation, distance_map=distance,
-            accessibility_map=accessibility, stem_penalty=stem,
-            traditional_score=traditional, valid_region=valid)
+        if use_pallas:
+            from leafgrasp_tpu.ops.pallas_scoring import fused_score_maps
+            from leafgrasp_tpu.ops.conv import (smooth_depth,
+                                                sobel_gradients)
+            r = cfg.grasp.gaussian_kernel_size // 2 + 1
+
+            def grad_chain(x):
+                dx, dy = sobel_gradients(
+                    smooth_depth(x, cfg.grasp.gaussian_kernel_size))
+                return jnp.sqrt(dx * dx + dy * dy)
+
+            grad_mag = _conv_halo(local_depth * mf, r, grad_chain,
+                                  ax, n_shards)
+            (sdf, approach, flatness, isolation, distance, accessibility,
+             stem_o, traditional, valid) = fused_score_maps(
+                din, dout, dclose, dwide, grad_mag, mf, stem,
+                cx, cy, f, orient.angle, orient.valid, cfg=cfg.grasp,
+                row0=jnp.float32(row0 * 1.0), frame_height=h,
+                max_sdf=norm_max, max_close=close_max,
+                max_wide=wide_max)
+            scores = GraspScores(
+                sdf_score=sdf, approach_score=approach,
+                flatness_map=flatness, isolation_map=isolation,
+                distance_map=distance, accessibility_map=accessibility,
+                stem_penalty=stem_o, traditional_score=traditional,
+                valid_region=valid)
+            traditional, valid = scores.traditional_score, \
+                scores.valid_region
+        else:
+            sdf = sdf_score_map(leaf, cx, cy, cfg.grasp, dist_inside=din,
+                                dist_outside=dout, row0=row0,
+                                norm_max=norm_max, orientation=orient)
+            approach = approach_score_map(leaf, cx, cy, f, row0=row0)
+            flatness = _conv_halo(
+                local_depth * mf, cfg.grasp.gaussian_kernel_size // 2 + 1,
+                lambda x: flatness_from_depth(
+                    x, cfg.grasp.flatness_gradient_scale,
+                    cfg.grasp.gaussian_kernel_size),
+                ax, n_shards)
+            isolation = isolation_score_map(
+                leaf, all_mask, cfg.grasp, dist_close=dclose,
+                dist_wide=dwide, row0=row0, frame_height=h,
+                close_max=close_max, wide_max=wide_max)
+            distance = din * mf
+            accessibility = accessibility_score_map(
+                leaf, cx, cy, cfg.grasp, row0=row0, frame_height=h)
+
+            traditional = combine_traditional(approach, sdf, flatness,
+                                              accessibility, stem,
+                                              cfg.grasp)
+            valid = valid_region_mask(distance, leaf, stem, cfg.grasp)
+            scores = GraspScores(
+                sdf_score=sdf, approach_score=approach,
+                flatness_map=flatness, isolation_map=isolation,
+                distance_map=distance, accessibility_map=accessibility,
+                stem_penalty=stem, traditional_score=traditional,
+                valid_region=valid)
 
         # ---- spaced top-k (distributed greedy rounds) ----------------------
         k = cfg.grasp.top_k

@@ -200,3 +200,28 @@ def test_sharded_frame_union_half_cv_only():
                                   np.asarray(r_un.grasp_uv))
     with pytest.raises(NotImplementedError):
         make_sharded_frame_fn(mesh, cfg, with_cnn=True)
+
+
+def test_sharded_frame_pallas_scoring_matches_oracle():
+    """The fused Pallas scoring kernel inside the shard body (interpret
+    mode on CPU) must reproduce the sharded oracle composition."""
+    from leafgrasp_tpu.parallel.spatial_frame import make_sharded_frame_fn
+    cfg = _spatial_cfg("reference_self")
+    mask, depth = make_leaf_scene(264, 360, num_leaves=4, seed=5,
+                                  margin=40)
+    cx, cy, f = np.float32(180.0), np.float32(135.0), np.float32(430.0)
+    mesh = make_mesh(8, model_axis=1)
+    from leafgrasp_tpu.models.grasp_cnn import init_grasp_cnn
+    _, variables = init_grasp_cnn(jax.random.PRNGKey(0), cfg.model)
+    r_k = make_sharded_frame_fn(mesh, cfg, with_cnn=True,
+                                use_pallas=True)(
+        mask, depth, cx, cy, f, variables)
+    r_o = make_sharded_frame_fn(mesh, cfg, with_cnn=True,
+                                use_pallas=False)(
+        mask, depth, cx, cy, f, variables)
+    assert int(r_k.leaf_id) == int(r_o.leaf_id)
+    np.testing.assert_array_equal(np.asarray(r_k.grasp_uv),
+                                  np.asarray(r_o.grasp_uv))
+    np.testing.assert_allclose(np.asarray(r_k.fusion.combined),
+                               np.asarray(r_o.fusion.combined),
+                               rtol=2e-4, atol=2e-5)
