@@ -11,7 +11,8 @@ fused kernels) rather than translated from the CUDA/OpenCV original.
 __version__ = "0.1.0"
 
 from leafgrasp_tpu.config import (PipelineConfig, DEFAULT_CONFIG,
-                                  CameraConfig, FrameConfig)
+                                  CameraConfig, FrameConfig,
+                                  load_config, save_config)
 
 __all__ = ["PipelineConfig", "DEFAULT_CONFIG", "CameraConfig", "FrameConfig",
-           "__version__"]
+           "load_config", "save_config", "__version__"]

@@ -5,6 +5,7 @@ from leafgrasp_tpu.parallel.mesh import make_mesh, data_sharding, \
 from leafgrasp_tpu.parallel.sharding import (infer_param_shardings,
                                              shard_variables, shard_batch)
 from leafgrasp_tpu.parallel.batch import make_batched_frame_fn
+from leafgrasp_tpu.parallel.spatial_frame import make_sharded_frame_fn
 from leafgrasp_tpu.parallel.spatial import (sharded_edt,
                                             sharded_squared_edt,
                                             sharded_nearest_seed_rows,
@@ -12,5 +13,6 @@ from leafgrasp_tpu.parallel.spatial import (sharded_edt,
 
 __all__ = ["make_mesh", "data_sharding", "replicated",
            "infer_param_shardings", "shard_variables", "shard_batch",
-           "make_batched_frame_fn", "sharded_edt", "sharded_squared_edt",
+           "make_batched_frame_fn", "make_sharded_frame_fn",
+           "sharded_edt", "sharded_squared_edt",
            "sharded_nearest_seed_rows", "sharded_shift_rows"]
