@@ -355,8 +355,6 @@ def make_sharded_frame_fn(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
                 distance_map=distance, accessibility_map=accessibility,
                 stem_penalty=stem_o, traditional_score=traditional,
                 valid_region=valid)
-            traditional, valid = scores.traditional_score, \
-                scores.valid_region
         else:
             sdf = sdf_score_map(leaf, cx, cy, cfg.grasp, dist_inside=din,
                                 dist_outside=dout, row0=row0,

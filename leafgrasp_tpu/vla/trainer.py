@@ -142,8 +142,9 @@ class VLATrainer:
             mask_tree = lora_mask(self.variables["params"])
         labels = jax.tree.map(lambda m: "lora" if m else "frozen",
                               mask_tree)
+        lr = self.learning_rate if learning_rate is None else learning_rate
         tx = optax.multi_transform(
-            {"lora": optax.adamw(learning_rate or self.learning_rate),
+            {"lora": optax.adamw(lr),
              "frozen": optax.set_to_zero()}, labels)
         opt_state = tx.init(self.variables["params"])
         model = self.model
