@@ -29,12 +29,22 @@ _lib = None
 _lib_err: Optional[str] = None
 
 
+def _needs_rebuild() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    src = os.path.join(_NATIVE_DIR, "framebus.cpp")
+    try:  # a framebus.cpp newer than the .so must not be served stale
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
 def _load_native():
     global _lib, _lib_err
     if _lib is not None or _lib_err is not None:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
+        if _needs_rebuild():
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)

@@ -29,15 +29,32 @@ _lib = None
 _lib_err: Optional[str] = None
 
 _MAGIC = 0x474C464C
-_VERSION = 1
+# v2 pads the mask payload to a 4-byte multiple so depth float32 views
+# are always aligned (ADVICE r1: h*w odd made v1 depth 2-byte aligned).
+_VERSION = 2
 _HEADER = np.dtype([("magic", "<u4"), ("version", "<u4"),
                     ("height", "<u4"), ("width", "<u4"),
                     ("record_bytes", "<u8"), ("reserved", "<u8")])
 _REC_HEADER = np.dtype([("stamp_us", "<i8"), ("seq", "<u8")])
 
 
-def _record_bytes(h: int, w: int) -> int:
-    return _REC_HEADER.itemsize + h * w * (2 + 4)
+def _mask_pad(h: int, w: int, version: int = _VERSION) -> int:
+    return 0 if version < 2 else (4 - (h * w * 2) % 4) % 4
+
+
+def _record_bytes(h: int, w: int, version: int = _VERSION) -> int:
+    return _REC_HEADER.itemsize + h * w * 2 + _mask_pad(h, w, version) \
+        + h * w * 4
+
+
+def _needs_rebuild() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    src = os.path.join(_NATIVE_DIR, "framelog.cpp")
+    try:  # a framelog.cpp newer than the .so must not be served stale
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
 
 
 def _load_native():
@@ -45,13 +62,13 @@ def _load_native():
     if _lib is not None or _lib_err is not None:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
+        if _needs_rebuild():
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.fl_writer_open.restype = ctypes.c_void_p
         lib.fl_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                       ctypes.c_int]
+                                       ctypes.c_int, ctypes.c_int]
         lib.fl_writer_append.restype = ctypes.c_int
         lib.fl_writer_append.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_void_p, ctypes.c_int64]
@@ -85,14 +102,19 @@ class FrameLogWriter:
     """Append (mask int16 HxW, depth f32 HxW, stamp) records to a log."""
 
     def __init__(self, path: str, height: int, width: int,
-                 prefer_native: bool = True):
+                 prefer_native: bool = True, overwrite: bool = False):
         self.path = path
         self.h, self.w = int(height), int(width)
         self._count = 0
+        if not overwrite and os.path.exists(path):
+            raise FileExistsError(
+                f"framelog already exists at {path}; pass overwrite=True "
+                "to replace it (refusing to truncate a prior recording)")
         lib = _load_native() if prefer_native else None
         self._lib = lib
         if lib is not None:
-            self._handle = lib.fl_writer_open(path.encode(), self.h, self.w)
+            self._handle = lib.fl_writer_open(path.encode(), self.h, self.w,
+                                              1 if overwrite else 0)
             if not self._handle:
                 raise OSError(f"fl_writer_open failed for {path}")
             self._f = None
@@ -125,6 +147,9 @@ class FrameLogWriter:
             rh["stamp_us"], rh["seq"] = int(stamp_us), self._count
             self._f.write(rh.tobytes())
             self._f.write(mask.tobytes())
+            pad = _mask_pad(self.h, self.w)
+            if pad:
+                self._f.write(b"\x00" * pad)
             self._f.write(depth.tobytes())
             self._f.flush()
         self._count += 1
@@ -169,10 +194,11 @@ class FrameLogReader:
         else:
             self._handle = None
             hdr = np.fromfile(path, dtype=_HEADER, count=1)[0]
-            if hdr["magic"] != _MAGIC or hdr["version"] != _VERSION:
+            if hdr["magic"] != _MAGIC or not 1 <= hdr["version"] <= _VERSION:
                 raise OSError(f"bad framelog header in {path}")
             self.h, self.w = int(hdr["height"]), int(hdr["width"])
-            rb = _record_bytes(self.h, self.w)
+            self._version = int(hdr["version"])
+            rb = _record_bytes(self.h, self.w, self._version)
             if rb != int(hdr["record_bytes"]):
                 raise OSError("record size mismatch")
             size = os.path.getsize(path)
@@ -207,12 +233,13 @@ class FrameLogReader:
             mask.flags.writeable = False
             depth.flags.writeable = False
             return mask, depth, st.value
-        off = _HEADER.itemsize + idx * _record_bytes(self.h, self.w)
+        off = _HEADER.itemsize + idx * _record_bytes(self.h, self.w,
+                                                     self._version)
         rh = np.frombuffer(self._mm, _REC_HEADER, count=1, offset=off)[0]
         off += _REC_HEADER.itemsize
         mask = np.frombuffer(self._mm, np.int16, count=n,
                              offset=off).reshape(self.h, self.w)
-        off += n * 2
+        off += n * 2 + _mask_pad(self.h, self.w, self._version)
         depth = np.frombuffer(self._mm, np.float32, count=n,
                               offset=off).reshape(self.h, self.w)
         return mask, depth, int(rh["stamp_us"])

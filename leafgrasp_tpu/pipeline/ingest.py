@@ -314,6 +314,9 @@ class GraspService:
 
     def stop(self):
         self._stop.set()
+        # drain dispatched-but-unfinalized frames (pipeline_depth > 0) so
+        # their results publish and reach the recorder before it closes
+        self.flush()
         if self._recorder is not None:
             self._recorder.close()
             self._recorder = None

@@ -107,9 +107,12 @@ class LlavaJaxScorer:
         (llava_processor.py:78-101); batch-1 decode is weight-HBM-bound,
         so left-pad-batching the 5 prompts costs ~one candidate's
         latency. The shared image encodes once through the vision tower
-        and its features broadcast across rows. Per-candidate results
-        are bit-equal to sequential scoring (rows never attend across
-        the batch or into pad slots).
+        and its features broadcast across rows. Masking guarantees rows
+        never attend across the batch or into pad slots, so batched
+        scoring is equivalent to sequential scoring up to floating-point
+        tiling effects (bf16 TPU matmul tiling varies with batch shape
+        and can flip a greedy argmax on a near-tie); exact equality is
+        verified on the tested f32 CPU configs (tests/test_llava_jax.py).
         """
         import jax.numpy as jnp
         from leafgrasp_tpu.vla.llava_jax import _VisionProject

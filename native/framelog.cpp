@@ -29,7 +29,10 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x474C464Cu;  // "LFLG"
-constexpr uint32_t kVersion = 1;
+// v2 pads the int16 mask payload to a 4-byte multiple so the float
+// depth payload is always 4-byte aligned for zero-copy reads (v1 was
+// misaligned when h*w is odd). Readers accept both versions.
+constexpr uint32_t kVersion = 2;
 
 struct Header {
   uint32_t magic;
@@ -45,9 +48,17 @@ struct RecordHeader {
   uint64_t seq;
 };
 
-inline uint64_t record_bytes(uint32_t h, uint32_t w) {
+inline uint64_t mask_pad(uint32_t h, uint32_t w, uint32_t version) {
+  if (version < 2) return 0;
+  uint64_t mask_bytes = static_cast<uint64_t>(h) * w * sizeof(int16_t);
+  return (4 - mask_bytes % 4) % 4;
+}
+
+inline uint64_t record_bytes(uint32_t h, uint32_t w, uint32_t version) {
   return sizeof(RecordHeader) +
-         static_cast<uint64_t>(h) * w * (sizeof(int16_t) + sizeof(float));
+         static_cast<uint64_t>(h) * w * sizeof(int16_t) +
+         mask_pad(h, w, version) +
+         static_cast<uint64_t>(h) * w * sizeof(float);
 }
 
 struct Writer {
@@ -62,6 +73,7 @@ struct Reader {
   size_t mapped;
   uint32_t h, w;
   uint64_t rec_bytes;
+  uint64_t pad;
   int64_t count;
 };
 
@@ -69,11 +81,14 @@ struct Reader {
 
 extern "C" {
 
-void* fl_writer_open(const char* path, int h, int w) {
-  FILE* f = std::fopen(path, "wb");
+// overwrite == 0 refuses to clobber an existing log at `path` (the
+// append-only/crash-safe framing makes silent truncation a data-loss
+// hazard when a session path is reused).
+void* fl_writer_open(const char* path, int h, int w, int overwrite) {
+  FILE* f = std::fopen(path, overwrite ? "wb" : "wbx");
   if (!f) return nullptr;
   Header hdr{kMagic, kVersion, static_cast<uint32_t>(h),
-             static_cast<uint32_t>(w), record_bytes(h, w), 0};
+             static_cast<uint32_t>(w), record_bytes(h, w, kVersion), 0};
   if (std::fwrite(&hdr, sizeof(hdr), 1, f) != 1) {
     std::fclose(f);
     return nullptr;
@@ -88,8 +103,11 @@ int fl_writer_append(void* handle, const int16_t* mask, const float* depth,
   auto* wr = static_cast<Writer*>(handle);
   RecordHeader rh{stamp_us, wr->seq};
   const size_t n = static_cast<size_t>(wr->h) * wr->w;
+  const uint64_t pad = mask_pad(wr->h, wr->w, kVersion);
+  const uint8_t zeros[4] = {0, 0, 0, 0};
   if (std::fwrite(&rh, sizeof(rh), 1, wr->f) != 1) return -1;
   if (std::fwrite(mask, sizeof(int16_t), n, wr->f) != n) return -1;
+  if (pad && std::fwrite(zeros, 1, pad, wr->f) != pad) return -1;
   if (std::fwrite(depth, sizeof(float), n, wr->f) != n) return -1;
   if (std::fflush(wr->f) != 0) return -1;
   wr->seq += 1;
@@ -122,8 +140,9 @@ void* fl_reader_open(const char* path, int* h, int* w, int64_t* count) {
     return nullptr;
   }
   const Header* hdr = static_cast<const Header*>(base);
-  if (hdr->magic != kMagic || hdr->version != kVersion ||
-      hdr->record_bytes != record_bytes(hdr->height, hdr->width)) {
+  if (hdr->magic != kMagic || hdr->version < 1 || hdr->version > kVersion ||
+      hdr->record_bytes != record_bytes(hdr->height, hdr->width,
+                                        hdr->version)) {
     ::munmap(base, st.st_size);
     ::close(fd);
     return nullptr;
@@ -132,7 +151,8 @@ void* fl_reader_open(const char* path, int* h, int* w, int64_t* count) {
   int64_t n = (st.st_size - sizeof(Header)) / hdr->record_bytes;
   auto* rd = new Reader{fd, static_cast<const uint8_t*>(base),
                         static_cast<size_t>(st.st_size), hdr->height,
-                        hdr->width, hdr->record_bytes, n};
+                        hdr->width, hdr->record_bytes,
+                        mask_pad(hdr->height, hdr->width, hdr->version), n};
   *h = static_cast<int>(hdr->height);
   *w = static_cast<int>(hdr->width);
   *count = n;
@@ -149,7 +169,7 @@ int fl_reader_frame(void* handle, int64_t idx, const int16_t** mask,
   *mask = reinterpret_cast<const int16_t*>(rec + sizeof(RecordHeader));
   *depth = reinterpret_cast<const float*>(
       rec + sizeof(RecordHeader) +
-      static_cast<uint64_t>(rd->h) * rd->w * sizeof(int16_t));
+      static_cast<uint64_t>(rd->h) * rd->w * sizeof(int16_t) + rd->pad);
   return 0;
 }
 
