@@ -141,6 +141,9 @@ class PreGraspConfig:
     min_distance_m: float = 0.05
     max_distance_m: float = 0.10
     step_m: float = 0.01
+    # point-cloud vs depth disagreement threshold for the optional 3D
+    # cross-check (grasp_point_selector.py:175: 1 cm)
+    cloud_threshold_m: float = 0.01
 
 
 @dataclasses.dataclass(frozen=True)

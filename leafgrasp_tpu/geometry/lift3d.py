@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from leafgrasp_tpu.config import PreGraspConfig
 from leafgrasp_tpu.ops.morphology import elliptical_kernel
 
-__all__ = ["lift_to_3d", "project_to_2d", "pre_grasp_point", "PreGrasp"]
+__all__ = ["lift_to_3d", "lift_to_3d_with_cloud", "project_to_2d",
+           "pre_grasp_point", "PreGrasp"]
 
 
 def lift_to_3d(u, v, depth_value, camera_cx, camera_cy, f_norm):
@@ -25,6 +26,31 @@ def lift_to_3d(u, v, depth_value, camera_cx, camera_cy, f_norm):
     x = d * (u - camera_cx) / f_norm
     y = d * (v - camera_cy) / f_norm
     return jnp.stack([x, y, d])
+
+
+def lift_to_3d_with_cloud(u, v, depth_value, points, camera_cx, camera_cy,
+                          f_norm, threshold_m: float = 0.01):
+    """Depth back-projection cross-checked against an organized point
+    cloud (grasp_point_selector.py:163-180): when the row-major cloud
+    point at (v, u) disagrees with the depth-lifted point by more than
+    ``threshold_m`` (reference: 1 cm), the cloud point wins.
+
+    points : (H, W, 3) float32 organized cloud (row v, col u -> the
+        reference's flat index ``v * width + u``). NaN cloud entries
+        (invalid stereo returns) never trigger the swap -- a NaN
+        distance fails the ``> threshold`` comparison, matching the
+        reference's numpy semantics.
+    """
+    depth_pt = lift_to_3d(u, v, depth_value, camera_cx, camera_cy, f_norm)
+    pts = jnp.asarray(points, jnp.float32)
+    h, w = pts.shape[0], pts.shape[1]
+    ui = jnp.asarray(u, jnp.int32)
+    vi = jnp.asarray(v, jnp.int32)
+    in_cloud = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    cloud_pt = pts[jnp.clip(vi, 0, h - 1), jnp.clip(ui, 0, w - 1)]
+    diff = jnp.linalg.norm(depth_pt - cloud_pt)
+    use_cloud = in_cloud & (diff > jnp.float32(threshold_m))
+    return jnp.where(use_cloud, cloud_pt, depth_pt)
 
 
 def project_to_2d(point_3d, camera_cx, camera_cy, f_norm):

@@ -21,7 +21,8 @@ from leafgrasp_tpu.geometry.leaf_scorer import select_optimal_leaf, \
     LeafSelection
 from leafgrasp_tpu.geometry.grasp_scorer import compute_grasp_scores
 from leafgrasp_tpu.geometry.patches import assemble_cnn_inputs
-from leafgrasp_tpu.geometry.lift3d import lift_to_3d, pre_grasp_point
+from leafgrasp_tpu.geometry.lift3d import lift_to_3d, \
+    lift_to_3d_with_cloud, pre_grasp_point
 from leafgrasp_tpu.models.grasp_cnn import GraspPointCNN, \
     ml_scores_from_logits
 from leafgrasp_tpu.ops.topk import topk_min_distance, Candidates
@@ -52,13 +53,17 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
                  camera_cx, camera_cy, f_norm,
                  cnn_variables=None, cnn_apply=None,
                  cfg: PipelineConfig = DEFAULT_CONFIG,
-                 use_pallas: bool = False) -> FrameResult:
+                 use_pallas: bool = False,
+                 points=None) -> FrameResult:
     """Full grasp selection for one frame.
 
     cnn_apply : optional static callable (variables, feats) -> logits.
         When None the pipeline runs CV-only, mirroring the reference's
         graceful degradation when no checkpoint exists
         (grasp_point_selector.py:43-57).
+    points : optional (H, W, 3) organized point cloud; when given the
+        3D grasp is cross-checked against it at the reference's 1 cm
+        threshold (grasp_point_selector.py:163-180).
     """
     mask_ids = jnp.asarray(mask_ids, jnp.int32)
     depth = jnp.asarray(depth, jnp.float32)
@@ -93,8 +98,15 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
 
     u = cand.x[fusion.best_index]
     v = cand.y[fusion.best_index]
-    grasp_xyz = lift_to_3d(u.astype(jnp.float32), v.astype(jnp.float32),
-                           depth[v, u], camera_cx, camera_cy, f_norm)
+    if points is None:
+        grasp_xyz = lift_to_3d(u.astype(jnp.float32),
+                               v.astype(jnp.float32), depth[v, u],
+                               camera_cx, camera_cy, f_norm)
+    else:
+        grasp_xyz = lift_to_3d_with_cloud(
+            u.astype(jnp.float32), v.astype(jnp.float32), depth[v, u],
+            points, camera_cx, camera_cy, f_norm,
+            threshold_m=cfg.pregrasp.cloud_threshold_m)
     pre = pre_grasp_point(grasp_xyz, leaf, camera_cx, camera_cy, f_norm,
                           cfg=cfg.pregrasp)
 

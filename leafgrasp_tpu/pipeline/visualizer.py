@@ -95,6 +95,11 @@ class LeafVisualizer:
                 rgb8 = (np.clip(rgb8, 0, 1) * 255).astype(np.uint8)
             if rgb8.ndim == 2:
                 rgb8 = np.stack([rgb8] * 3, -1)
+            # draw the detected midrib on the RGB half of the composite
+            # (reference visualizer.py:129-157: red 3px line + label)
+            if sel.any():
+                rgb8 = rgb8.copy()
+                self._draw_midrib(rgb8, sel)
             canvas = np.concatenate([rgb8, canvas], axis=1)
         return canvas
 
@@ -129,6 +134,20 @@ class LeafVisualizer:
         region = canvas[max(0, y - radius):min(h, y + radius + 1),
                         max(0, x - radius):min(w, x + radius + 1)]
         region[ring | cross] = color
+
+    @staticmethod
+    def _draw_midrib(rgb8, sel, thickness: int = 3):
+        from leafgrasp_tpu.io.tools import detect_midrib
+        pts = detect_midrib(sel, rgb8)
+        if pts is None:
+            return
+        from PIL import Image, ImageDraw
+        img = Image.fromarray(rgb8)
+        draw = ImageDraw.Draw(img)
+        (x1, y1), (x2, y2) = pts
+        draw.line([(x1, y1), (x2, y2)], fill=(255, 0, 0), width=thickness)
+        draw.text((x1, max(0, y1 - 12)), "Midrib", fill=(255, 0, 0))
+        rgb8[:] = np.asarray(img)
 
     def _draw_orientation(self, canvas, sel):
         o = mask_orientation(sel)

@@ -185,3 +185,59 @@ def grasp_scores_reference(leaf_mask, all_mask, depth, cx, cy, f,
                 distance_map=distance, accessibility_map=access,
                 stem_penalty=stem, traditional_score=traditional,
                 valid_region=valid)
+
+
+def detect_midrib_reference(leaf_mask, raw_image):
+    """cv2 transcription of reference grasp_point_selector.py:829-922:
+    CLAHE-enhanced intensity ridge sampled perpendicular to the
+    minAreaRect major axis. Returns (start_xy, end_xy) or None."""
+    m8 = np.asarray(leaf_mask, np.uint8)
+    img = np.asarray(raw_image)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    leaf_region = cv2.bitwise_and(img, img, mask=m8)
+    gray = cv2.cvtColor(leaf_region, cv2.COLOR_BGR2GRAY)
+    clahe = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8))
+    enhanced = clahe.apply(gray)
+
+    contours, _ = cv2.findContours(m8, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_NONE)
+    if not contours:
+        return None
+    contour = max(contours, key=cv2.contourArea)
+    rect = cv2.minAreaRect(contour)
+    center, size, angle = rect[0], rect[1], rect[2]
+    if size[0] < size[1]:
+        angle = angle + 90
+    angle = np.deg2rad(angle)
+    major_axis = max(size[0], size[1])
+    minor_axis = min(size[0], size[1])
+
+    center = (int(center[0]), int(center[1]))
+    dx = int(major_axis / 2 * np.cos(angle))
+    dy = int(major_axis / 2 * np.sin(angle))
+    mask_width = int(minor_axis / 6)
+    window_width = mask_width
+    pts = []
+    h, w = m8.shape
+    for t in np.linspace(0, 1, 20):
+        x = int(center[0] - dx + 2 * dx * t)
+        y = int(center[1] - dy + 2 * dy * t)
+        if not (0 <= x < w and 0 <= y < h):
+            continue
+        n = np.sqrt(dx * dx + dy * dy)
+        perp_dx = -dy / n * window_width
+        perp_dy = dx / n * window_width
+        intensities, positions = [], []
+        for s in np.linspace(-1, 1, window_width):
+            sx, sy = int(x + s * perp_dx), int(y + s * perp_dy)
+            if 0 <= sx < w and 0 <= sy < h and m8[sy, sx]:
+                intensities.append(enhanced[sy, sx])
+                positions.append((sx, sy))
+        if intensities:
+            pts.append(positions[int(np.argmax(intensities))])
+    if len(pts) < 2:
+        return None
+    return tuple(pts[0]), tuple(pts[-1])

@@ -296,3 +296,65 @@ def test_fuzz_pipeline_vs_oracle(seed, n, h, w):
         cands = _ref_candidates(oracle["traditional_score"],
                                 oracle["valid_region"], 20, 10)
         assert (int(res.grasp_uv[0]), int(res.grasp_uv[1])) == cands[0]
+
+
+# ------------------------------------------------- point-cloud lifting --
+
+def test_lift_with_cloud_agreement_keeps_depth_point():
+    """Within the 1 cm threshold the depth-lifted point is kept
+    (grasp_point_selector.py:163-180)."""
+    from leafgrasp_tpu.geometry.lift3d import lift_to_3d_with_cloud
+    h, w = 8, 10
+    u, v, d = 4, 3, 0.5
+    depth_pt = np.asarray(lift_to_3d(float(u), float(v), d, CX, CY, F))
+    cloud = np.zeros((h, w, 3), np.float32)
+    cloud[v, u] = depth_pt + 0.004   # 4mm off per axis -> ~7mm < 1cm
+    out = np.asarray(lift_to_3d_with_cloud(float(u), float(v), d, cloud,
+                                           CX, CY, F))
+    np.testing.assert_allclose(out, depth_pt, rtol=1e-6)
+
+
+def test_lift_with_cloud_discrepancy_uses_cloud_point():
+    from leafgrasp_tpu.geometry.lift3d import lift_to_3d_with_cloud
+    h, w = 8, 10
+    u, v, d = 4, 3, 0.5
+    depth_pt = np.asarray(lift_to_3d(float(u), float(v), d, CX, CY, F))
+    cloud = np.zeros((h, w, 3), np.float32)
+    cloud[v, u] = depth_pt + np.array([0.02, 0.0, 0.0])  # 2cm > 1cm
+    out = np.asarray(lift_to_3d_with_cloud(float(u), float(v), d, cloud,
+                                           CX, CY, F))
+    np.testing.assert_allclose(out, cloud[v, u], rtol=1e-6)
+
+
+def test_lift_with_cloud_nan_entry_falls_back_to_depth():
+    """NaN cloud returns (invalid stereo) never trigger the swap."""
+    from leafgrasp_tpu.geometry.lift3d import lift_to_3d_with_cloud
+    u, v, d = 2, 1, 0.7
+    depth_pt = np.asarray(lift_to_3d(float(u), float(v), d, CX, CY, F))
+    cloud = np.full((4, 6, 3), np.nan, np.float32)
+    out = np.asarray(lift_to_3d_with_cloud(float(u), float(v), d, cloud,
+                                           CX, CY, F))
+    np.testing.assert_allclose(out, depth_pt, rtol=1e-6)
+
+
+def test_pipeline_cloud_cross_check():
+    """select_grasp(points=...) swaps in the cloud point on discrepancy."""
+    from leafgrasp_tpu.config import PipelineConfig, FrameConfig, \
+        LeafSelectionConfig
+    from leafgrasp_tpu.pipeline.frame import select_grasp
+    cfg = PipelineConfig(frame=FRAME, leaf=CFG)
+    mask, depth = _scene(3)
+    base = select_grasp(mask, depth, CX, CY, F, cfg=cfg)
+    assert bool(base.found)
+    # cloud disagreeing everywhere by 5cm in X
+    h, w = mask.shape
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    z = depth
+    cloud = np.stack([z * (xs - CX) / F + 0.05, z * (ys - CY) / F, z],
+                     axis=-1).astype(np.float32)
+    res = select_grasp(mask, depth, CX, CY, F, cfg=cfg, points=cloud)
+    assert np.asarray(res.grasp_uv).tolist() == \
+        np.asarray(base.grasp_uv).tolist()
+    np.testing.assert_allclose(np.asarray(res.grasp_xyz)[0],
+                               np.asarray(base.grasp_xyz)[0] + 0.05,
+                               atol=1e-5)

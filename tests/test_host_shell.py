@@ -422,3 +422,51 @@ def test_grasp_service_record_and_replay(tmp_path):
         for m, d, st in rd:
             svc2.process_frame(np.asarray(m), np.asarray(d), mask_stamp=st)
     assert replay_msgs == live_msgs
+
+
+def _ridged_leaf(h=220, w=320, theta=0.5, cx=160, cy=110, a=90, b=32):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    ct, st = np.cos(theta), np.sin(theta)
+    xr = (xx - cx) * ct + (yy - cy) * st
+    yr = -(xx - cx) * st + (yy - cy) * ct
+    mask = (xr / a) ** 2 + (yr / b) ** 2 <= 1
+    img = np.zeros((h, w), np.float32)
+    img[mask] = 0.35
+    img[mask & (np.abs(yr) < 2.5)] = 1.0
+    return mask, img
+
+
+@pytest.mark.parametrize("theta", [0.2, 0.5, 1.0, 2.3])
+def test_detect_midrib_matches_cv2_transcription(theta):
+    """Our contrast-norm ridge detector agrees with the reference's
+    CLAHE/minAreaRect cv2 path (tests/reference_impl.py transcription of
+    grasp_point_selector.py:829-922) within 6 deg on ridged leaves."""
+    from tests.reference_impl import detect_midrib_reference
+    mask, img = _ridged_leaf(theta=theta)
+    ours = detect_midrib(mask, img)
+    theirs = detect_midrib_reference(mask, img)
+    assert ours is not None and theirs is not None
+
+    def ang(p):
+        (x1, y1), (x2, y2) = p
+        return np.degrees(np.arctan2(y2 - y1, x2 - x1)) % 180
+
+    d = abs(ang(ours) - ang(theirs))
+    d = min(d, 180 - d)
+    assert d < 6.0, (ang(ours), ang(theirs))
+
+
+def test_visualizer_composite_draws_midrib():
+    """The RGB half of the composite carries the red midrib line
+    (reference visualizer.py:129-157)."""
+    mask_f, img = _ridged_leaf()
+    mask = mask_f.astype(np.int16) * 2      # leaf id 2
+    rgb = np.stack([img] * 3, -1)
+    vis = LeafVisualizer()
+    comp = vis.render(mask, selected_leaf=2, rgb=rgb)
+    h, w = mask.shape
+    left = comp[:, :w]
+    # pure-red pixels exist on the RGB half and none existed in the input
+    red = (left[:, :, 0] > 200) & (left[:, :, 1] < 80) & \
+        (left[:, :, 2] < 80)
+    assert red.sum() > 50

@@ -128,3 +128,85 @@ def test_edt_degenerate_shapes():
     row[0, 10] = True
     d2 = np.asarray(squared_edt(row))
     assert d2[0, 10] == 0 and d2[0, 13] == 9
+
+
+# ---------------------------------------------------- FMM equivalence --
+
+class TestFmmVsExactEdt:
+    """Empirical check that replacing ``skfmm.distance``
+    (leaf_scorer.py:69) with the exact EDT is consumer-safe (VERDICT r1
+    item 8). scikit-fmm is not installable here (zero egress), so the
+    oracle is tests/fmm_impl.py, a transcription of first-order fast
+    marching for binary interfaces."""
+
+    def _fields(self, seed, n=4):
+        from leafgrasp_tpu.io.scenes import make_leaf_scene
+        from leafgrasp_tpu.ops.edt import edt
+        from tests.fmm_impl import fmm_distance
+        mask, _ = make_leaf_scene(height=135, width=180, num_leaves=n,
+                                  seed=seed, margin=20)
+        fg = mask > 0
+        return fg, np.asarray(edt(fg)), fmm_distance(fg)
+
+    @pytest.mark.parametrize("seed", [0, 3, 8])
+    def test_field_agreement(self, seed):
+        """First-order FMM overshoots by <3% along diagonals and
+        undershoots by at most 1 - sqrt(2)/2 ~= 0.293 px at concave
+        seed corners (the continuum interface cuts cell-center
+        corners); measured extremes on these frames are exactly that."""
+        fg, d_edt, d_fmm = self._fields(seed)
+        assert np.all(d_fmm >= d_edt - 0.30)
+        err = d_fmm - d_edt
+        far = d_edt > 10
+        if far.any():
+            assert np.max(np.abs(err[far]) / d_edt[far]) < 0.05
+        np.testing.assert_array_equal(d_fmm == 0, d_edt == 0)
+
+    @pytest.mark.parametrize("seed", [0, 3, 8])
+    def test_extrema_and_clutter_consumers(self, seed):
+        """What the leaf scorer consumes: argmin (first leaf pixel)
+        and the argmax pixel -- identical on every golden frame."""
+        fg, d_edt, d_fmm = self._fields(seed)
+        # argmin tie-breaks identically: both fields are exactly 0 on
+        # every leaf pixel and positive elsewhere
+        assert np.argmin(d_edt) == np.argmin(d_fmm)
+        if d_edt.max() == 0:      # foreground covers the frame
+            return
+        pmax_e = np.unravel_index(np.argmax(d_edt), d_edt.shape)
+        pmax_f = np.unravel_index(np.argmax(d_fmm), d_fmm.shape)
+        # the most-isolated pixel agrees to within the discretization
+        # error ball: both points are near-max in BOTH fields
+        assert d_edt[pmax_f] > 0.97 * d_edt[pmax_e]
+        assert d_fmm[pmax_e] > 0.97 * d_fmm[pmax_f]
+
+    @pytest.mark.parametrize("seed", [0, 3, 8, 11, 17])
+    def test_leaf_choice_invariant(self, seed):
+        """The selected leaf is identical whether clutter uses FMM or
+        exact-EDT extrema (the only way skfmm reaches a decision)."""
+        from leafgrasp_tpu.io.scenes import make_leaf_scene
+        from leafgrasp_tpu.ops.edt import edt
+        from tests.fmm_impl import fmm_distance
+        from tests import reference_impl as ref
+        mask, depth = make_leaf_scene(height=135, width=180,
+                                      num_leaves=5, seed=seed, margin=20)
+        fg = mask > 0
+        if not fg.any():
+            return
+        choice = {}
+        for name, field in (("edt", np.asarray(edt(fg))),
+                            ("fmm", fmm_distance(fg))):
+            pmin = np.unravel_index(np.argmin(field), field.shape)
+            pmax = np.unravel_index(np.argmax(field), field.shape)
+            best, best_score = None, -1.0
+            for lid in np.unique(mask):
+                if lid == 0 or (mask == lid).sum() < 400:
+                    continue
+                ys, xs = np.nonzero(mask == lid)
+                c = (xs.mean(), ys.mean())
+                dmin = np.hypot(c[0] - pmin[1], c[1] - pmin[0])
+                dmax = np.hypot(c[0] - pmax[1], c[1] - pmax[0])
+                s = dmin / (dmin + dmax) if dmin + dmax > 0 else 0.0
+                if s > best_score:
+                    best, best_score = lid, s
+            choice[name] = best
+        assert choice["edt"] == choice["fmm"]
