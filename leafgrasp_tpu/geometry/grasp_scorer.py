@@ -254,25 +254,44 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     mf = m.astype(jnp.float32)
     depth = jnp.asarray(depth, jnp.float32)
 
-    # The distance fields batch into ONE fused EDT program; the
+    # The distance fields share ONE batched pass-1 scan; the
     # inside-distance is shared by sdf_score and distance_map (the
     # reference recomputes it, grasp_point_selector.py:266+529).
-    # isolation_context/skip_isolation can drop the two interference
-    # fields entirely (isolation feeds only the CNN patch channels).
-    from leafgrasp_tpu.ops.edt import edt_batch
+    #
+    # The WIDE fields are never materialized in full: every consumer of
+    # dist_outside / the interference fields is masked by the leaf
+    # (grasp_point_selector.py:538,563,611-628 all multiply by the
+    # mask), so only their full-frame MAXES (the normalizers) are
+    # needed globally -- computed exactly by edt_max_argmax at ~1/8 of
+    # the full-sweep cost -- while the interference fields themselves
+    # are banded to exactness on the leaf only (band_mask=m).
+    from leafgrasp_tpu.ops.edt import (edt_batch, edt_max_argmax,
+                                       nearest_seed_dist_1d, squared_edt)
     iso_mode = "skip" if skip_isolation else cfg.isolation_context
+
+    def _batched_g2(seeds):
+        g = nearest_seed_dist_1d(seeds, axis=1).astype(jnp.float32)
+        return g * g
+
     if iso_mode == "union":
         other = jnp.asarray(all_mask, bool) & ~m
-        seeds = jnp.stack([
-            ~m, m,
-            dilate(other, elliptical_kernel(cfg.isolation_close_kernel)),
-            dilate(other, elliptical_kernel(cfg.isolation_wide_kernel)),
-        ])
-        din, dout, dclose, dwide = edt_batch(seeds)
+        sc = dilate(other, elliptical_kernel(cfg.isolation_close_kernel))
+        sw = dilate(other, elliptical_kernel(cfg.isolation_wide_kernel))
+        seeds = jnp.stack([~m, m, sc, sw])
+        g2 = _batched_g2(seeds)
+        din = jnp.sqrt(squared_edt(~m, g2=g2[0]))
+        max_dout, _ = edt_max_argmax(m, g2=g2[1])
+        dclose = jnp.sqrt(squared_edt(sc, g2=g2[2], band_mask=m))
+        dwide = jnp.sqrt(squared_edt(sw, g2=g2[3], band_mask=m))
+        close_max, _ = edt_max_argmax(sc, g2=g2[2])
+        wide_max, _ = edt_max_argmax(sw, g2=g2[3])
     elif iso_mode == "union_half":
-        din, dout = edt_batch(jnp.stack([~m, m]))
         other = jnp.asarray(all_mask, bool) & ~m
         h, w = m.shape
+        seeds = jnp.stack([~m, m])
+        g2 = _batched_g2(seeds)
+        din = jnp.sqrt(squared_edt(~m, g2=g2[0]))
+        max_dout, _ = edt_max_argmax(m, g2=g2[1])
 
         def half_edt(inter):
             # 2x2 any-pool -> half-res EDT -> nearest upsample, px scale x2
@@ -288,13 +307,26 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
             cfg.isolation_close_kernel)))
         dwide = half_edt(dilate(other, elliptical_kernel(
             cfg.isolation_wide_kernel)))
+        close_max = jnp.max(dclose)
+        wide_max = jnp.max(dwide)
     else:
-        din, dout = edt_batch(jnp.stack([~m, m]))
+        seeds = jnp.stack([~m, m])
+        g2 = _batched_g2(seeds)
+        din = jnp.sqrt(squared_edt(~m, g2=g2[0]))
+        max_dout, _ = edt_max_argmax(m, g2=g2[1])
         # reference_self: empty interference -> cv2 FLT_MAX field ->
         # normalized score 1 everywhere; skip: zero field -> score 0
         fill = 0.0 if skip_isolation else 1.0
         dclose = jnp.full_like(din, fill)
         dwide = jnp.full_like(din, fill)
+        close_max = jnp.float32(fill)
+        wide_max = jnp.float32(fill)
+
+    # max|sdf| = max(din inside, dist_outside outside): the two fields
+    # are disjointly supported, so the normalizer needs only max(dout)
+    # as a scalar -- dist_outside is 0 on every consumed (leaf) pixel.
+    sdf_norm = jnp.maximum(jnp.max(din), max_dout)
+    zeros_dout = jnp.zeros_like(din)
 
     if use_pallas:
         from leafgrasp_tpu.ops.pallas_scoring import fused_score_maps
@@ -306,8 +338,9 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
         o = mask_orientation(m)
         (sdf, approach, flatness, isolation, distance, accessibility,
          stem_o, traditional, valid) = fused_score_maps(
-            din, dout, dclose, dwide, grad_mag, mf, stem,
-            camera_cx, camera_cy, f_norm, o.angle, o.valid, cfg=cfg)
+            din, zeros_dout, dclose, dwide, grad_mag, mf, stem,
+            camera_cx, camera_cy, f_norm, o.angle, o.valid, cfg=cfg,
+            max_sdf=sdf_norm, max_close=close_max, max_wide=wide_max)
         return GraspScores(
             sdf_score=sdf, approach_score=approach, flatness_map=flatness,
             isolation_map=isolation, distance_map=distance,
@@ -315,12 +348,14 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
             traditional_score=traditional, valid_region=valid)
 
     sdf = sdf_score_map(m, camera_cx, camera_cy, cfg,
-                        dist_inside=din, dist_outside=dout)
+                        dist_inside=din, dist_outside=zeros_dout,
+                        norm_max=sdf_norm)
     approach = approach_score_map(m, camera_cx, camera_cy, f_norm)
     flatness = flatness_from_depth(depth * mf, cfg.flatness_gradient_scale,
                                    cfg.gaussian_kernel_size)
     isolation = isolation_score_map(m, all_mask, cfg, dist_close=dclose,
-                                    dist_wide=dwide)
+                                    dist_wide=dwide, close_max=close_max,
+                                    wide_max=wide_max)
     distance = din * mf      # cv2.distanceTransform zeroes background
     accessibility = accessibility_score_map(m, camera_cx, camera_cy, cfg)
     stem = stem_penalty_map(m, cfg)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from leafgrasp_tpu.config import LeafSelectionConfig, FrameConfig
-from leafgrasp_tpu.ops.edt import edt
+from leafgrasp_tpu.ops.edt import edt_max_argmax
 from leafgrasp_tpu.ops.components import leaf_stats, LeafStats
 from leafgrasp_tpu.ops.pareto import pareto_mask
 
@@ -66,11 +66,16 @@ def select_optimal_leaf(mask_ids: jnp.ndarray, depth: jnp.ndarray,
     # --- global SDF extrema (leaf_scorer.py:66-71): the EDT of the
     # background w.r.t. all leaves is 0 on leaves; argmin is the first leaf
     # pixel in row-major order (numpy argmin tie-breaking), argmax the
-    # background pixel farthest from any leaf.
+    # background pixel farthest from any leaf. Only the EXTREMA are
+    # consumed, so the full (wide) field is never materialized: argmin
+    # is the first foreground pixel directly (the field is exactly 0
+    # there and positive elsewhere; an empty frame's constant field
+    # argmins to 0, which argmax-of-all-False also returns), and argmax
+    # comes from the sampled-exact edt_max_argmax at ~1/8 of the full
+    # min-plus sweep.
     fg = jnp.asarray(mask_ids, jnp.int32) > 0
-    global_sdf = edt(fg)
-    amin = jnp.argmin(global_sdf)
-    amax = jnp.argmax(global_sdf)
+    amin = jnp.argmax(fg.ravel())
+    _, amax = edt_max_argmax(fg)
     min_y, min_x = (amin // w).astype(jnp.float32), \
         (amin % w).astype(jnp.float32)
     max_y, max_x = (amax // w).astype(jnp.float32), \

@@ -29,11 +29,13 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["nearest_seed_dist_1d", "squared_edt", "squared_edt_full",
-           "edt", "signed_edt", "edt_batch"]
+           "edt", "signed_edt", "edt_batch", "edt_max_argmax"]
 
 
 def nearest_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
@@ -117,7 +119,8 @@ def _shift_cols(arr: jnp.ndarray, delta: int, fill) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("chunk", "big"))
 def squared_edt(seeds: jnp.ndarray, chunk: int = 128,
                 g2: jnp.ndarray | None = None,
-                big: float | None = None) -> jnp.ndarray:
+                big: float | None = None,
+                band_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Exact squared L2 distance from every pixel to the nearest True
     seed, via a BANDED min-plus sweep.
 
@@ -141,6 +144,14 @@ def squared_edt(seeds: jnp.ndarray, chunk: int = 128,
     Row-sharded callers operating on a local row block MUST pass the
     full-frame (H + W)^2 -- the local block's own (h + w)^2 can be
     smaller than true squared distances, corrupting padded columns.
+
+    band_mask: optional (H, W) bool query mask. When given, the band is
+    sized from the upper bound's max over ONLY the masked pixels, so the
+    result is exact on the mask and an OVERESTIMATE elsewhere. Callers
+    whose consumers multiply the field by the mask (e.g. the per-leaf
+    isolation fields, grasp_point_selector.py:611-628) get the exact
+    answer for a fraction of the sweep cost; global normalizers must
+    then come from ``edt_max_argmax`` instead of the returned field.
     """
     seeds = jnp.asarray(seeds, dtype=bool)
     h, w = seeds.shape
@@ -162,7 +173,11 @@ def squared_edt(seeds: jnp.ndarray, chunk: int = 128,
         d2 = jnp.float32(delta * delta)
         upper = jnp.minimum(upper, _shift_cols(g2p, delta, big) + d2)
         upper = jnp.minimum(upper, _shift_cols(g2p, -delta, big) + d2)
-    b_max = jnp.sqrt(jnp.max(upper[:, :w]))
+    if band_mask is None:
+        b_max = jnp.sqrt(jnp.max(upper[:, :w]))
+    else:
+        b_max = jnp.sqrt(jnp.max(jnp.where(
+            jnp.asarray(band_mask, bool), upper[:, :w], 0.0)))
     max_off = jnp.minimum(
         (b_max / chunk).astype(jnp.int32) + 1, n_chunks - 1)
 
@@ -255,6 +270,107 @@ def edt_batch(seeds: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
     outs = [jnp.sqrt(squared_edt(seeds[c], chunk=chunk, g2=g2[c]))
             for c in range(seeds.shape[0])]
     return jnp.stack(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "k", "chunk"))
+def edt_max_argmax(seeds: jnp.ndarray, g2: jnp.ndarray | None = None,
+                   stride: int = 8, k: int = 2048, chunk: int = 512):
+    """Exact ``(max, argmax)`` of ``edt(seeds)`` WITHOUT the pass-2 field.
+
+    Several consumers only need the global max of a wide distance field
+    -- the |sdf| normalizer consumes ``max(dist_outside)``
+    (grasp_point_selector.py:538), the isolation normalizers consume
+    ``np.max(dist_close/wide)`` (grasp_point_selector.py:612-617), and
+    the leaf scorer consumes only ``argmax`` of the global SDF
+    (leaf_scorer.py:70-76). Those fields are the WIDE ones (hundreds of
+    pixels), exactly where the banded sweep degrades to the full
+    O(H*W*W) sweep; this computes the same scalars at ~1/stride of that
+    cost.
+
+    Method (exact, all integer-valued f32 arithmetic so bit-equal to
+    ``jnp.max(edt(seeds))`` / first-occurrence ``jnp.argmax``):
+
+    1. evaluate the exact envelope d(i, j) at every row but only at
+       sampled columns (every ``stride``-th plus the last): a min-plus
+       over ALL source columns, O(H * W/stride * W);
+    2. d is 1-Lipschitz, so the true max M <= max(sampled) + stride/2
+       and every pixel attaining M has its nearest sampled column
+       scoring >= M - stride/2. ``top_k`` collects every such sample
+       (guard below), and an exact re-evaluation of the +-stride/2
+       column windows around them recovers M and its first row-major
+       attaining pixel;
+    3. if the top-k could NOT have captured all candidates (k-th value
+       within the Lipschitz slack of the sampled max -- e.g. adversarial
+       near-max plateaus), fall back to the exact full sweep via
+       ``lax.cond``. Seed-free and all-seed frames (constant fields)
+       are exact in the primary branch and never fall back.
+
+    Returns (max_dist f32 scalar, argmax flat row-major index int32).
+    """
+    seeds = jnp.asarray(seeds, bool)
+    h, w = seeds.shape
+    if g2 is None:
+        g = nearest_seed_dist_1d(seeds, axis=0).astype(jnp.float32)
+        g2 = g * g
+
+    js = np.unique(np.concatenate([np.arange(0, w, stride),
+                                   [w - 1]])).astype(np.int32)
+    ws = int(js.size)
+    slack = stride // 2     # max col distance from any pixel to a sample
+    jsf = jnp.asarray(js, jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+
+    # --- pass A: exact envelope at sampled columns (H, ws) --------------
+    nc = -(-w // chunk)
+    big = jnp.float32((h + w) * (h + w))
+    g2p = jnp.pad(g2, ((0, 0), (0, nc * chunk - w)), constant_values=big)
+    colp = jnp.pad(cols, (0, nc * chunk - w),
+                   constant_values=jnp.float32(-10 * w))
+    blocks = jnp.moveaxis(g2p.reshape(h, nc, chunk), 1, 0)
+    colc = colp.reshape(nc, chunk)
+
+    def body(carry, inputs):
+        g2_blk, col_blk = inputs            # (H, C), (C,)
+        off = (jsf[:, None] - col_blk[None, :]) ** 2        # (ws, C)
+        cand = jnp.min(g2_blk[:, None, :] + off[None, :, :], axis=-1)
+        return jnp.minimum(carry, cand), None
+
+    init = jnp.full((h, ws), big, jnp.float32)
+    d2s, _ = jax.lax.scan(body, init, (blocks, colc))
+    ds = jnp.sqrt(d2s)
+    m_low = jnp.max(ds)
+
+    kk = min(k, h * ws)
+    vals, flat = jax.lax.top_k(ds.ravel(), kk)
+    if kk == h * ws:
+        covered = jnp.bool_(True)
+    else:
+        covered = vals[kk - 1] < m_low - (slack + 0.01)
+        # constant fields (no seeds / all seeds) are exact regardless of
+        # which ties top_k kept
+        covered = covered | ~jnp.any(seeds) | jnp.all(seeds)
+
+    # --- pass B: exact refinement of +-slack windows --------------------
+    def refined(_):
+        rows = flat // ws                                     # (kk,)
+        scols = jnp.asarray(js, jnp.int32)[flat % ws]
+        win = jnp.arange(-slack, slack + 1, dtype=jnp.int32)
+        jwin = jnp.clip(scols[:, None] + win[None, :], 0, w - 1)
+        g2rows = jnp.take(g2, rows, axis=0)                   # (kk, W)
+        offr = (jwin[:, :, None].astype(jnp.float32)
+                - cols[None, None, :]) ** 2                   # (kk, win, W)
+        d2r = jnp.min(g2rows[:, None, :] + offr, axis=-1)
+        dr = jnp.sqrt(d2r)
+        mx = jnp.max(dr)
+        flat_pix = rows[:, None] * w + jwin
+        amax = jnp.min(jnp.where(dr == mx, flat_pix, jnp.int32(h * w)))
+        return mx, amax.astype(jnp.int32)
+
+    def full_sweep(_):
+        d = jnp.sqrt(squared_edt_full(seeds))
+        return jnp.max(d), jnp.argmax(d).astype(jnp.int32)
+
+    return jax.lax.cond(covered, refined, full_sweep, operand=None)
 
 
 def signed_edt(mask: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
