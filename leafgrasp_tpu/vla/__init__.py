@@ -26,6 +26,10 @@ from leafgrasp_tpu.vla.llava_jax import (LlavaJax, LlavaJaxConfig,
 from leafgrasp_tpu.vla.llava_runtime import (LlavaJaxScorer,
                                              load_llava_from_hf,
                                              preprocess_image)
+from leafgrasp_tpu.vla.checkpoint_io import (SentencePieceTokenizer,
+                                             load_llava_checkpoint,
+                                             read_safetensors,
+                                             write_safetensors)
 
 __all__ = [
     "HybridGraspSelector", "HybridSelector", "confidence_weights",
@@ -37,4 +41,6 @@ __all__ = [
     "LlavaJax", "LlavaJaxConfig", "config_from_hf",
     "convert_hf_llava_state_dict", "greedy_generate_llava",
     "LlavaJaxScorer", "load_llava_from_hf", "preprocess_image",
+    "SentencePieceTokenizer", "load_llava_checkpoint",
+    "read_safetensors", "write_safetensors",
 ]

@@ -41,10 +41,14 @@ def preprocess_image(image: np.ndarray, size: int) -> np.ndarray:
 
 def load_llava_from_hf(model_path: str, lora_rank: int = 0,
                        dtype: str = "float32"):
-    """Load a local HF LLaVA checkpoint into the JAX stack.
+    """Load a local HF LLaVA checkpoint into the JAX stack VIA
+    transformers (legacy path; requires transformers+torch installed).
 
-    Requires the checkpoint (config + weights + tokenizer) on disk;
-    in zero-egress environments ship it via the image. Returns
+    Prefer ``leafgrasp_tpu.vla.checkpoint_io.load_llava_checkpoint``,
+    which reads the same checkpoint directory (config.json +
+    safetensors + tokenizer.model) with zero transformers/torch
+    imports. This wrapper remains for checkpoints in formats only
+    transformers can parse (e.g. .bin pickles). Returns
     (LlavaJax model, variables, tokenizer).
     """
     import dataclasses

@@ -1,0 +1,224 @@
+"""Self-contained checkpoint IO: safetensors + sentencepiece readers and
+the zero-transformers LLaVA load path (checkpoint dir -> scorer), cross
+-checked against the transformers/torch pipeline it replaces
+(reference vla_system/llava_processor.py:18-51)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from leafgrasp_tpu.vla.checkpoint_io import (
+    DictConfig, SentencePieceTokenizer, load_llava_checkpoint,
+    read_safetensors, write_safetensors, write_sentencepiece_model)
+
+
+# ------------------------------------------------------- safetensors --
+
+def test_safetensors_roundtrip_vs_reference_lib(tmp_path):
+    import ml_dtypes
+    rng = np.random.default_rng(0)
+    tensors = {
+        "a.weight": rng.normal(size=(3, 5)).astype(np.float32),
+        "b.bias": rng.normal(size=(7,)).astype(np.float16),
+        "c.int": rng.integers(0, 100, size=(2, 2)).astype(np.int64),
+        "d.bf16": rng.normal(size=(4, 3)).astype(ml_dtypes.bfloat16),
+        "e.bool": np.array([True, False]),
+    }
+    p = str(tmp_path / "m.safetensors")
+    write_safetensors(p, tensors, metadata={"format": "np"})
+
+    back = read_safetensors(p)
+    for k, v in tensors.items():
+        assert back[k].dtype == v.dtype
+        np.testing.assert_array_equal(np.asarray(back[k], np.float64),
+                                      np.asarray(v, np.float64))
+
+    # cross-check with the reference safetensors implementation
+    st = pytest.importorskip("safetensors.numpy")
+    lib = st.load_file(p)
+    for k in ("a.weight", "b.bias", "c.int", "e.bool"):
+        np.testing.assert_array_equal(lib[k], tensors[k])
+
+    p2 = str(tmp_path / "lib.safetensors")
+    st.save_file({k: tensors[k] for k in ("a.weight", "c.int")}, p2)
+    ours = read_safetensors(p2)
+    np.testing.assert_array_equal(ours["a.weight"], tensors["a.weight"])
+    np.testing.assert_array_equal(ours["c.int"], tensors["c.int"])
+
+
+# ------------------------------------------------------ sentencepiece --
+
+def _byte_pieces():
+    return [(f"<0x{b:02X}>", -20.0, 6) for b in range(256)]
+
+
+def test_sentencepiece_bpe_merge_order(tmp_path):
+    # "hello": h+e merges first (score -1 beats l+l -2), then ll,
+    # then he+ll (score -0.5 best), giving ["▁", "hell", "o"].
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              ("▁", -5.0, 1),
+              ("h", -10.0, 1), ("e", -10.0, 1), ("l", -10.0, 1),
+              ("o", -10.0, 1),
+              ("he", -1.0, 1), ("ll", -2.0, 1), ("hell", -0.5, 1)]
+    p = str(tmp_path / "tok.model")
+    write_sentencepiece_model(p, pieces, model_type="bpe",
+                              add_dummy_prefix=True, byte_fallback=False)
+    tok = SentencePieceTokenizer(p)
+    assert tok.model_type == 2 and tok.add_dummy_prefix
+    assert tok.bos_id == 1 and tok.eos_id == 2
+
+    ids = tok.encode("hello")
+    assert [tok.pieces[i] for i in ids] == ["▁", "hell", "o"]
+    assert tok.decode(ids) == "hello"
+    assert tok.encode("hello", add_bos=True)[0] == tok.bos_id
+
+    # unknown char without byte fallback -> unk id
+    ids = tok.encode("hq")
+    assert tok.unk_id in ids
+
+
+def test_sentencepiece_byte_fallback_roundtrip(tmp_path):
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              ("▁", -5.0, 1), ("a", -10.0, 1)] + _byte_pieces()
+    p = str(tmp_path / "tok.model")
+    write_sentencepiece_model(p, pieces, model_type="bpe",
+                              byte_fallback=True)
+    tok = SentencePieceTokenizer(p)
+    assert tok.byte_fallback
+    text = "a é 葉a"          # multi-byte UTF-8 through byte pieces
+    ids = tok.encode(text)
+    assert tok.unk_id not in ids
+    assert tok.decode(ids) == text
+
+
+def test_sentencepiece_unigram_viterbi(tmp_path):
+    # "abc": piece "abc" (-1) beats "ab"+"c" (-2-2) and singles.
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              ("▁", -1.0, 1),
+              ("a", -3.0, 1), ("b", -3.0, 1), ("c", -3.0, 1),
+              ("ab", -2.0, 1), ("abc", -1.0, 1)]
+    p = str(tmp_path / "tok.model")
+    write_sentencepiece_model(p, pieces, model_type="unigram",
+                              add_dummy_prefix=True, byte_fallback=False)
+    tok = SentencePieceTokenizer(p)
+    ids = tok.encode("abc")
+    assert [tok.pieces[i] for i in ids] == ["▁", "abc"]
+    # force the split: "abca" -> ▁ abc a
+    ids = tok.encode("abca")
+    assert [tok.pieces[i] for i in ids] == ["▁", "abc", "a"]
+    assert tok.decode(ids) == "abca"
+
+
+def test_dict_config_attribute_view():
+    c = DictConfig({"a": 1, "b": {"c": 2}})
+    assert c.a == 1 and c.b.c == 2
+    assert getattr(c, "missing", "dflt") == "dflt"
+    with pytest.raises(AttributeError):
+        c.missing
+
+
+# ---------------------------------------- zero-transformers load path --
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _prompt_vocab_model(path):
+    """A byte-fallback BPE tokenizer.model whose ids stay inside the
+    tiny text vocab (128)."""
+    pieces = ([("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+               ("▁", -5.0, 1)]
+              + [(chr(c), -10.0, 1) for c in range(ord("a"), ord("z") + 1)]
+              + [(str(d), -10.0, 1) for d in range(10)]
+              + [(ch, -10.0, 1) for ch in ".,:()%"])
+    write_sentencepiece_model(path, pieces, model_type="bpe",
+                              byte_fallback=False)
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt_dir(tmp_path_factory):
+    """A synthesized full-layout HF checkpoint directory: config.json +
+    sharded safetensors + index + tokenizer.model."""
+    from transformers import (LlavaConfig, LlavaForConditionalGeneration,
+                              CLIPVisionConfig, MistralConfig)
+    vis = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=3, num_attention_heads=2,
+                           image_size=28, patch_size=14)
+    txt = MistralConfig(hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, vocab_size=128,
+                        max_position_embeddings=128,
+                        attention_dropout=0.0)
+    hf_cfg = LlavaConfig(vision_config=vis, text_config=txt,
+                         image_token_index=100, vision_feature_layer=-2,
+                         vision_feature_select_strategy="default")
+    torch.manual_seed(7)
+    hf = LlavaForConditionalGeneration(hf_cfg).eval()
+
+    d = tmp_path_factory.mktemp("ckpt")
+    with open(d / "config.json", "w") as f:
+        json.dump(hf_cfg.to_dict(), f)
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    names = sorted(sd)
+    half = len(names) // 2
+    shards = {"model-00001-of-00002.safetensors": names[:half],
+              "model-00002-of-00002.safetensors": names[half:]}
+    weight_map = {}
+    for shard, keys in shards.items():
+        write_safetensors(str(d / shard), {k: sd[k] for k in keys})
+        weight_map.update({k: shard for k in keys})
+    with open(d / "model.safetensors.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    _prompt_vocab_model(str(d / "tokenizer.model"))
+    return str(d), hf
+
+
+def test_load_checkpoint_matches_transformers(tiny_ckpt_dir, monkeypatch):
+    path, hf = tiny_ckpt_dir
+    rng = np.random.default_rng(3)
+    px = rng.normal(size=(1, 3, 28, 28)).astype(np.float32)
+    ids = np.array([[1, 5, 100, 100, 100, 100, 7, 9]], np.int32)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids, dtype=torch.long),
+                 pixel_values=torch.tensor(px)).logits.numpy()
+
+    # prove the loader path needs neither transformers nor torch
+    monkeypatch.setitem(sys.modules, "transformers", None)
+    monkeypatch.setitem(sys.modules, "torch", None)
+    model, variables, tok = load_llava_checkpoint(path)
+
+    ours, _ = model.apply(variables, ids,
+                          pixel_values=px.transpose(0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4,
+                               atol=2e-4)
+    assert isinstance(tok, SentencePieceTokenizer)
+    assert tok.decode(tok.encode("score: 85")) == "score: 85"
+
+
+def test_load_checkpoint_bf16_cast(tiny_ckpt_dir):
+    import jax.numpy as jnp
+    path, _ = tiny_ckpt_dir
+    model, variables, _ = load_llava_checkpoint(path, dtype="bfloat16")
+    leaf = variables["params"]["embed_tokens"]["embedding"]
+    assert leaf.dtype == jnp.bfloat16
+
+
+def test_scorer_runs_from_disk_checkpoint(tiny_ckpt_dir, monkeypatch):
+    """VERDICT r1 item 2 'done' bar: LlavaJaxScorer scores candidates
+    from a disk checkpoint with zero transformers imports."""
+    from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
+    path, _ = tiny_ckpt_dir
+    monkeypatch.setitem(sys.modules, "transformers", None)
+    monkeypatch.setitem(sys.modules, "torch", None)
+    model, variables, tok = load_llava_checkpoint(path)
+    scorer = LlavaJaxScorer(model, variables, tok, max_new_tokens=4)
+    img = np.zeros((28, 28, 3), np.float32)
+    cands = [{"x": 3, "y": 4, "leaf_id": 1, "score": 0.5},
+             {"x": 9, "y": 2, "leaf_id": 2, "score": 0.7}]
+    scores = scorer.score(img, cands, "pick the best leaf")
+    assert len(scores) == 2
+    assert all(np.isfinite(s) for s in scores)
