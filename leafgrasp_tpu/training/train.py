@@ -100,27 +100,32 @@ def analyze_predictions(logits: np.ndarray, labels: np.ndarray,
 def make_optimizer(cfg: TrainConfig):
     """torch.optim.Adam(lr, weight_decay) parity: clip -> +wd*param ->
     Adam moments -> -lr, with lr injectable for the plateau scheduler."""
-    def build(learning_rate):
+    def build(learning_rate, weight_decay):
         return optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.add_decayed_weights(cfg.weight_decay),
+            optax.add_decayed_weights(weight_decay),
             optax.scale_by_adam(),
             optax.scale_by_learning_rate(learning_rate),
         )
-    return optax.inject_hyperparams(build)(learning_rate=cfg.learning_rate)
+    # weight_decay injected too: sweep configs differing only in
+    # scalar hyperparams then share ONE compiled program per
+    # (model shape, batch size) -- compiles dominate sweep wall-clock
+    # through the tunnelled backend.
+    return optax.inject_hyperparams(build)(
+        learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
 
 
 def make_train_step(model: GraspPointCNN, tx, cfg: TrainConfig):
     """Jitted (params, batch_stats, opt_state, batch) -> updated state."""
 
     def train_step(params, batch_stats, opt_state, feats, labels, mask,
-                   dropout_rng):
+                   dropout_rng, pos_weight):
         def loss_fn(p):
             logits, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats}, feats,
                 train=True, rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"])
-            loss = bce_with_logits(logits, labels, cfg.pos_weight, mask)
+            loss = bce_with_logits(logits, labels, pos_weight, mask)
             return loss, (mutated["batch_stats"], logits)
 
         (loss, (new_bs, logits)), grads = jax.value_and_grad(
@@ -137,10 +142,10 @@ def make_train_step(model: GraspPointCNN, tx, cfg: TrainConfig):
 
 
 def make_eval_step(model: GraspPointCNN, cfg: TrainConfig):
-    def eval_step(params, batch_stats, feats, labels, mask):
+    def eval_step(params, batch_stats, feats, labels, mask, pos_weight):
         logits = model.apply({"params": params, "batch_stats": batch_stats},
                              feats, train=False)
-        loss = bce_with_logits(logits, labels, cfg.pos_weight, mask)
+        loss = bce_with_logits(logits, labels, pos_weight, mask)
         return loss, logits.reshape(-1)
     return jax.jit(eval_step)
 
@@ -237,13 +242,17 @@ class Trainer:
         va_feats_p, va_labels_p = self._pad(va_feats, bs), \
             self._pad(va_labels, bs)
 
+        pos_w = jnp.float32(cfg.pos_weight)
         for epoch in range(epochs):
             rng, samp_rng, drop_rng = jax.random.split(rng, 3)
             # with-replacement class-balanced sampling for the whole epoch
             idx = jax.random.choice(samp_rng, n_train,
                                     shape=(steps * bs,), replace=True,
                                     p=sample_p)
-            ep_loss, ep_correct = 0.0, 0.0
+            # loss/accuracy accumulate ON DEVICE: one value fetch per
+            # epoch, not per step (fetches barrier the tunnelled
+            # backend at ~27 ms each; dispatches pipeline freely)
+            ep_loss = jnp.float32(0.0)
             for s in range(steps):
                 b = idx[s * bs:(s + 1) * bs]
                 bf, bl = tr_feats[b], tr_labels[b]
@@ -253,23 +262,24 @@ class Trainer:
                 drop = jax.random.fold_in(drop_rng, s)
                 params, batch_stats, opt_state, loss, correct = train_step(
                     params, batch_stats, opt_state, bf, bl,
-                    jnp.ones((bs,), jnp.float32), drop)
-                ep_loss += float(loss)
-                ep_correct += float(correct)
-            train_loss = ep_loss / steps
+                    jnp.ones((bs,), jnp.float32), drop, pos_w)
+                ep_loss = ep_loss + loss
+            train_loss = float(ep_loss) / steps
 
-            # validation over padded fixed-size batches
+            # validation over padded fixed-size batches (device-side
+            # accumulation; ONE fetch for the concatenated logits)
             val_losses, val_logits = [], []
             n_va_steps = va_feats_p.shape[0] // bs
             for s in range(n_va_steps):
                 sl = slice(s * bs, (s + 1) * bs)
                 loss, logits = eval_step(params, batch_stats,
                                          va_feats_p[sl], va_labels_p[sl],
-                                         va_mask[sl])
-                val_losses.append(float(loss))
-                val_logits.append(np.asarray(logits))
-            val_loss = float(np.mean(val_losses))
-            logits_all = np.concatenate(val_logits)[:va_feats.shape[0]]
+                                         va_mask[sl], pos_w)
+                val_losses.append(loss)
+                val_logits.append(logits)
+            val_loss = float(jnp.mean(jnp.stack(val_losses)))
+            logits_all = np.asarray(
+                jnp.concatenate(val_logits))[:va_feats.shape[0]]
             metrics = analyze_predictions(logits_all,
                                           np.asarray(va_labels))
             # calibrated decision boundary (p > 0.5 <=> logit > 0); the
