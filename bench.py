@@ -9,6 +9,11 @@ Methodology notes:
   them and then fetches each result's grasp pixel -- on this tunnelled
   backend ``block_until_ready`` does NOT synchronize, so value fetches
   are the only honest barrier.
+* Three scene families are measured (sparse / crowded / large-leaf):
+  leaf count and area drive the adaptive banded EDT and the leaf-bbox
+  window ladder, so a single scene would hide their worst case.
+  ``worst_case_fps`` reports the slowest family; the headline ``value``
+  is the mixed-family aggregate throughput.
 * Baseline: the reference publishes no FPS number (its node is
   rate-gated at 10 Hz, leaf_grasp_node_v3.py:81; BASELINE.json sets the
   north star at >= 50 frames/sec/chip on v5e) -> vs_baseline = fps / 50.
@@ -23,6 +28,15 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_tpu"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# (name, num_leaves, seed, margin): sparse mirrors the r1 regression
+# scene; crowded stresses the EDT band + run-graph labeling; large-leaf
+# stresses the per-leaf window ladder (bbox close to the frame).
+FAMILIES = [
+    ("sparse", 6, 8, 120),
+    ("crowded", 12, 3, 60),
+    ("large_leaf", 3, 5, 260),
+]
 
 
 def main():
@@ -42,15 +56,18 @@ def main():
     cfg = DEFAULT_CONFIG.replace(
         grasp=GraspScoringConfig(isolation_context="reference_self"))
     cfg_enh = DEFAULT_CONFIG
-    mask, depth = make_leaf_scene(cfg.frame.height, cfg.frame.width,
-                                  num_leaves=6, seed=8)
     cx, cy, f = np.float32(707.87), np.float32(494.07), np.float32(1750.68)
 
-    n_frames = 40
-    masks = [jax.device_put(np.roll(mask, 3 * i, axis=1))
-             for i in range(n_frames)]
-    depths = [jax.device_put(np.roll(depth, 3 * i, axis=1))
-              for i in range(n_frames)]
+    per_family = 14
+    frames = []                      # list of (family, mask_dev, depth_dev)
+    for name, n_leaves, seed, margin in FAMILIES:
+        mask, depth = make_leaf_scene(cfg.frame.height, cfg.frame.width,
+                                      num_leaves=n_leaves, seed=seed,
+                                      margin=margin)
+        for i in range(per_family):
+            frames.append((name,
+                           jax.device_put(np.roll(mask, 3 * i, axis=1)),
+                           jax.device_put(np.roll(depth, 3 * i, axis=1))))
 
     _, variables = init_grasp_cnn(jax.random.PRNGKey(0), cfg.model)
     variables = jax.device_put(variables)
@@ -58,28 +75,40 @@ def main():
     def measure(config):
         fn = make_frame_fn(config, with_cnn=True)
         # compile + warmup (value fetch is the only honest barrier here)
-        res = fn(masks[0], depths[0], cx, cy, f, variables)
+        res = fn(frames[0][1], frames[0][2], cx, cy, f, variables)
         _ = np.asarray(res.grasp_uv)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            results = [fn(masks[i], depths[i], cx, cy, f, variables)
-                       for i in range(n_frames)]
-            # single-device execution is in dispatch order: fetching the
-            # last result bounds all prior computes with ONE round trip
-            uv = np.asarray(results[-1].grasp_uv)
-            assert uv.shape == (2,)
-            best = min(best, time.perf_counter() - t0)
-        return n_frames / best
 
-    fps = measure(cfg)
-    fps_enh = measure(cfg_enh)
+        def run(subset):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                results = [fn(m, d, cx, cy, f, variables)
+                           for (_, m, d) in subset]
+                # single-device execution is in dispatch order: fetching
+                # the last result bounds all prior computes with ONE
+                # round trip
+                uv = np.asarray(results[-1].grasp_uv)
+                assert uv.shape == (2,)
+                best = min(best, time.perf_counter() - t0)
+            return len(subset) / best
+
+        mixed = run(frames)
+        fam = {name: run([fr for fr in frames if fr[0] == name])
+               for name, *_ in FAMILIES}
+        return mixed, fam
+
+    fps, fam = measure(cfg)
+    fps_enh, fam_enh = measure(cfg_enh)
+    worst = min(fam.values())
     print(json.dumps({
         "metric": "end_to_end_grasp_selection_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 50.0, 4),
         "enhanced_isolation_mode_fps": round(fps_enh, 3),
+        "worst_case_fps": round(worst, 3),
+        "family_fps": {k: round(v, 3) for k, v in fam.items()},
+        "family_fps_enhanced": {k: round(v, 3) for k, v in fam_enh.items()},
     }))
 
 

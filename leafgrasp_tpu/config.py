@@ -103,6 +103,23 @@ class GraspScoringConfig:
     isolation_context: str = "union"
     height_pref_top: float = 1.0
     height_pref_bottom: float = 0.2
+    # Major-axis angle source for the sdf alignment term
+    # (grasp_point_selector.py:553-558):
+    # "min_area_rect": the reference's estimate_leaf_orientation
+    #   (cv2.minAreaRect of the largest contour), computed TPU-natively
+    #   by ops/pca.min_area_rect -- the reference-faithful setting.
+    # "pca": mask second-moment PCA -- cheaper, agrees on elongated
+    #   elliptical blobs, can differ by tens of degrees on irregular
+    #   ones (measured: PARITY.json orientation_probe).
+    orientation_source: str = "min_area_rect"
+    # Query-window sides (px) for the per-leaf distance fields: every
+    # consumer of din/dclose/dwide reads leaf pixels only (patches stay
+    # >= min_edge_distance - patch/2 = 4 px inside the leaf), so pass-2
+    # evaluates just the leaf's bbox in the SMALLEST listed window that
+    # fits (O(win^2 * W) regardless of how far the other leaves are,
+    # nested lax.cond ladder); leaves larger than every window fall
+    # back to the adaptive banded sweep.
+    leaf_windows: Tuple[int, ...] = (320, 640)
 
     # accessibility internals (grasp_point_selector.py:502-524)
     access_distance_weight: float = 0.7

@@ -261,36 +261,86 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     # The WIDE fields are never materialized in full: every consumer of
     # dist_outside / the interference fields is masked by the leaf
     # (grasp_point_selector.py:538,563,611-628 all multiply by the
-    # mask), so only their full-frame MAXES (the normalizers) are
-    # needed globally -- computed exactly by edt_max_argmax at ~1/8 of
-    # the full-sweep cost -- while the interference fields themselves
-    # are banded to exactness on the leaf only (band_mask=m).
-    from leafgrasp_tpu.ops.edt import (edt_batch, edt_max_argmax,
-                                       nearest_seed_dist_1d, squared_edt)
+    # mask; CNN patches stay >= min_edge_distance - patch/2 = 4 px
+    # inside it), so only their full-frame MAXES (the normalizers) are
+    # needed globally -- computed exactly by the batched sampled-
+    # envelope edt_max_argmax -- while the per-leaf fields evaluate
+    # pass-2 only on the leaf's bbox window (squared_edt_window), whose
+    # cost is set by the LEAF size, not by how far the interference
+    # is. The interference pass-1 comes from dilated_vertical_dist,
+    # skipping both dilations and their own vertical scans.
+    from leafgrasp_tpu.ops.edt import (directional_seed_dist_1d,
+                                       edt_batch, edt_max_argmax,
+                                       edt_max_argmax_batch,
+                                       nearest_seed_dist_1d, squared_edt,
+                                       squared_edt_window)
+    from leafgrasp_tpu.ops.morphology import dilated_vertical_dist
     iso_mode = "skip" if skip_isolation else cfg.isolation_context
 
     def _batched_g2(seeds):
         g = nearest_seed_dist_1d(seeds, axis=1).astype(jnp.float32)
         return g * g
 
+    fh, fw = m.shape
+    rows_any = jnp.any(m, axis=1)
+    cols_any = jnp.any(m, axis=0)
+    r_lo = jnp.argmax(rows_any).astype(jnp.int32)
+    r_hi = jnp.int32(fh - 1) - jnp.argmax(rows_any[::-1]).astype(jnp.int32)
+    c_lo = jnp.argmax(cols_any).astype(jnp.int32)
+    c_hi = jnp.int32(fw - 1) - jnp.argmax(cols_any[::-1]).astype(jnp.int32)
+    any_m = jnp.any(m)
+    # smallest-first window ladder; duplicates after frame clamping drop
+    sizes = sorted({(min(s, fh), min(s, fw))
+                    for s in cfg.leaf_windows if s > 0})
+
+    def _leaf_fields(g2s):
+        """sqrt-EDTs from a (C, H, W) pass-1 stack, exact on the leaf:
+        ONE batched bbox-window pass-2 in the smallest ladder window
+        that contains the leaf (zeros outside the window), else the
+        adaptive banded sweep sized to the leaf (exact on the mask)."""
+        def windowed(hq, wq):
+            def run(_):
+                r0 = jnp.clip(r_lo, 0, fh - hq)
+                c0 = jnp.clip(c_lo, 0, fw - wq)
+                blk = jnp.sqrt(squared_edt_window(g2s, r0, c0, hq, wq))
+                return jax.lax.dynamic_update_slice(
+                    jnp.zeros(g2s.shape, jnp.float32), blk,
+                    (jnp.int32(0), r0, c0))
+            return run
+
+        def banded(_):
+            return jnp.stack([
+                jnp.sqrt(squared_edt(None, g2=g2s[i], band_mask=m))
+                for i in range(g2s.shape[0])])
+
+        out = banded
+        for hq, wq in reversed(sizes):
+            fits = any_m & (r_hi - r_lo < hq) & (c_hi - c_lo < wq)
+            out = functools.partial(
+                jax.lax.cond, fits, windowed(hq, wq), out)
+        return out(None)
+
     if iso_mode == "union":
         other = jnp.asarray(all_mask, bool) & ~m
-        sc = dilate(other, elliptical_kernel(cfg.isolation_close_kernel))
-        sw = dilate(other, elliptical_kernel(cfg.isolation_wide_kernel))
-        seeds = jnp.stack([~m, m, sc, sw])
-        g2 = _batched_g2(seeds)
-        din = jnp.sqrt(squared_edt(~m, g2=g2[0]))
-        max_dout, _ = edt_max_argmax(m, g2=g2[1])
-        dclose = jnp.sqrt(squared_edt(sc, g2=g2[2], band_mask=m))
-        dwide = jnp.sqrt(squared_edt(sw, g2=g2[3], band_mask=m))
-        close_max, _ = edt_max_argmax(sc, g2=g2[2])
-        wide_max, _ = edt_max_argmax(sw, g2=g2[3])
+        g2 = _batched_g2(jnp.stack([~m, m]))
+        d_up, d_dn = directional_seed_dist_1d(other, axis=0)
+        gc = dilated_vertical_dist(d_up, d_dn, elliptical_kernel(
+            cfg.isolation_close_kernel)).astype(jnp.float32)
+        gw = dilated_vertical_dist(d_up, d_dn, elliptical_kernel(
+            cfg.isolation_wide_kernel)).astype(jnp.float32)
+        g2_close, g2_wide = gc * gc, gw * gw
+        no_other = ~jnp.any(other)
+        maxs, _ = edt_max_argmax_batch(
+            jnp.stack([g2[1], g2_close, g2_wide]),
+            constant_field=jnp.stack([~jnp.any(m), no_other, no_other]))
+        max_dout, close_max, wide_max = maxs[0], maxs[1], maxs[2]
+        din, dclose, dwide = _leaf_fields(
+            jnp.stack([g2[0], g2_close, g2_wide]))
     elif iso_mode == "union_half":
         other = jnp.asarray(all_mask, bool) & ~m
         h, w = m.shape
-        seeds = jnp.stack([~m, m])
-        g2 = _batched_g2(seeds)
-        din = jnp.sqrt(squared_edt(~m, g2=g2[0]))
+        g2 = _batched_g2(jnp.stack([~m, m]))
+        din = _leaf_fields(g2[:1])[0]
         max_dout, _ = edt_max_argmax(m, g2=g2[1])
 
         def half_edt(inter):
@@ -310,9 +360,8 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
         close_max = jnp.max(dclose)
         wide_max = jnp.max(dwide)
     else:
-        seeds = jnp.stack([~m, m])
-        g2 = _batched_g2(seeds)
-        din = jnp.sqrt(squared_edt(~m, g2=g2[0]))
+        g2 = _batched_g2(jnp.stack([~m, m]))
+        din = _leaf_fields(g2[:1])[0]
         max_dout, _ = edt_max_argmax(m, g2=g2[1])
         # reference_self: empty interference -> cv2 FLT_MAX field ->
         # normalized score 1 everywhere; skip: zero field -> score 0
@@ -328,6 +377,15 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     sdf_norm = jnp.maximum(jnp.max(din), max_dout)
     zeros_dout = jnp.zeros_like(din)
 
+    # sdf-alignment angle source (grasp_point_selector.py:553-558): the
+    # reference uses cv2.minAreaRect of the largest contour; "pca" is
+    # the cheaper moment estimator (divergence measured in PARITY.json)
+    if cfg.orientation_source == "min_area_rect":
+        from leafgrasp_tpu.ops.pca import min_area_rect
+        o = min_area_rect(m)
+    else:
+        o = mask_orientation(m)
+
     if use_pallas:
         from leafgrasp_tpu.ops.pallas_scoring import fused_score_maps
         from leafgrasp_tpu.ops.conv import smooth_depth, sobel_gradients
@@ -335,7 +393,6 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
         dx, dy = sobel_gradients(smoothed)
         grad_mag = jnp.sqrt(dx * dx + dy * dy)
         stem = stem_penalty_map(m, cfg)
-        o = mask_orientation(m)
         (sdf, approach, flatness, isolation, distance, accessibility,
          stem_o, traditional, valid) = fused_score_maps(
             din, zeros_dout, dclose, dwide, grad_mag, mf, stem,
@@ -349,7 +406,7 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
 
     sdf = sdf_score_map(m, camera_cx, camera_cy, cfg,
                         dist_inside=din, dist_outside=zeros_dout,
-                        norm_max=sdf_norm)
+                        norm_max=sdf_norm, orientation=o)
     approach = approach_score_map(m, camera_cx, camera_cy, f_norm)
     flatness = flatness_from_depth(depth * mf, cfg.flatness_gradient_scale,
                                    cfg.gaussian_kernel_size)

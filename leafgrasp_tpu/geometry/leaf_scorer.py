@@ -142,7 +142,11 @@ def leaf_choice_from_stats(stats: LeafStats, min_x, min_y, max_x, max_y,
 
     weights = jnp.array([cfg.clutter_weight, cfg.distance_weight,
                          cfg.visibility_weight], jnp.float32)
-    weighted = scores @ weights
+    # HIGHEST: the default f32 dot is bf16-grade on both TPU and this
+    # XLA:CPU build (measured ~1e-2 relative error) -- enough to flip
+    # near-tied leaf choices vs the f64 reference math
+    weighted = jnp.matmul(scores, weights,
+                          precision=jax.lax.Precision.HIGHEST)
     masked_weighted = jnp.where(front, weighted, -jnp.inf)
     best_slot = jnp.argmax(masked_weighted)
     found = jnp.any(candidate)

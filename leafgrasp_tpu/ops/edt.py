@@ -34,17 +34,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["nearest_seed_dist_1d", "squared_edt", "squared_edt_full",
-           "edt", "signed_edt", "edt_batch", "edt_max_argmax"]
+__all__ = ["nearest_seed_dist_1d", "directional_seed_dist_1d",
+           "squared_edt", "squared_edt_full", "squared_edt_window",
+           "edt", "signed_edt", "edt_batch", "edt_max_argmax",
+           "edt_max_argmax_batch"]
 
 
-def nearest_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """1D distance (in pixels) along `axis` to the nearest True seed.
+def directional_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0):
+    """(d_before, d_after): distance along `axis` to the nearest True
+    seed at-or-before / at-or-after each position.
 
-    Uses running-max of seed indices in both directions via
-    ``lax.associative_scan`` -> O(log n) depth, no host loop.
-    Positions with no seed anywhere along the line get a large finite
-    sentinel (n_axis0 + n_axis1), which squares safely in float32.
+    Uses running-max/min of seed indices via ``lax.associative_scan``
+    -> O(log n) depth, no host loop. Positions with no seed in that
+    direction get a large finite sentinel (n_axis0 + n_axis1), which
+    squares safely in float32. Callers needing asymmetric vertical
+    reach (``morphology.dilated_vertical_dist``) consume the two
+    directions separately; ``nearest_seed_dist_1d`` is their min.
     """
     seeds = jnp.asarray(seeds, dtype=bool)
     n = seeds.shape[axis]
@@ -52,8 +57,6 @@ def nearest_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     # (C, H, W) calls produce the same seedless-line sentinel as 2D ones
     big = jnp.int32(sum(seeds.shape[-2:]))
 
-    idx_shape = [1] * seeds.ndim
-    idx_shape[axis] = n
     idx = jax.lax.broadcasted_iota(jnp.int32, seeds.shape, axis)
 
     # Nearest seed at-or-before i: running max of seed indices.
@@ -67,19 +70,28 @@ def nearest_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
                                      reverse=True)
     d_after = jnp.where(after < 2 * n, after - idx, big)
 
+    return d_before, d_after
+
+
+def nearest_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """1D distance (in pixels) along `axis` to the nearest True seed.
+    See ``directional_seed_dist_1d`` for the scan structure."""
+    d_before, d_after = directional_seed_dist_1d(seeds, axis=axis)
     return jnp.minimum(d_before, d_after)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def squared_edt_full(seeds: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
+def squared_edt_full(seeds: jnp.ndarray, chunk: int = 512,
+                     g2: jnp.ndarray | None = None) -> jnp.ndarray:
     """Exact squared EDT via the full O(H*W*W) min-plus sweep (the
     verification oracle for the banded fast path below)."""
     seeds = jnp.asarray(seeds, dtype=bool)
     h, w = seeds.shape
 
     # Pass 1: per-column vertical distances.
-    g = nearest_seed_dist_1d(seeds, axis=0).astype(jnp.float32)
-    g2 = g * g  # (H, W)
+    if g2 is None:
+        g = nearest_seed_dist_1d(seeds, axis=0).astype(jnp.float32)
+        g2 = g * g  # (H, W)
 
     # Pass 2: D2[i,j] = min_{j'} g2[i,j'] + (j-j')^2, chunked over j'.
     cols = jnp.arange(w, dtype=jnp.float32)
@@ -117,7 +129,7 @@ def _shift_cols(arr: jnp.ndarray, delta: int, fill) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "big"))
-def squared_edt(seeds: jnp.ndarray, chunk: int = 128,
+def squared_edt(seeds: jnp.ndarray | None, chunk: int = 128,
                 g2: jnp.ndarray | None = None,
                 big: float | None = None,
                 band_mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -153,8 +165,13 @@ def squared_edt(seeds: jnp.ndarray, chunk: int = 128,
     answer for a fraction of the sweep cost; global normalizers must
     then come from ``edt_max_argmax`` instead of the returned field.
     """
-    seeds = jnp.asarray(seeds, dtype=bool)
-    h, w = seeds.shape
+    if seeds is None:
+        if g2 is None:
+            raise ValueError("squared_edt needs seeds or g2")
+        h, w = g2.shape
+    else:
+        seeds = jnp.asarray(seeds, dtype=bool)
+        h, w = seeds.shape
     big = jnp.float32((h + w) * (h + w) if big is None else big)
 
     if g2 is None:
@@ -371,6 +388,158 @@ def edt_max_argmax(seeds: jnp.ndarray, g2: jnp.ndarray | None = None,
         return jnp.max(d), jnp.argmax(d).astype(jnp.int32)
 
     return jax.lax.cond(covered, refined, full_sweep, operand=None)
+
+
+@functools.partial(jax.jit, static_argnames=("hq", "wq", "chunk"))
+def squared_edt_window(g2: jnp.ndarray, r0, c0, hq: int, wq: int,
+                       chunk: int = 512) -> jnp.ndarray:
+    """Exact squared EDT evaluated ONLY on the query window rows
+    [r0, r0+hq) x cols [c0, c0+wq); sources span the full frame.
+
+    g2 is the pass-1 squared vertical field (``directional`` /
+    ``nearest_seed_dist_1d`` squared), (H, W) or a channel stack
+    (C, H, W) -- rows are independent in pass 2, so channels fold into
+    the row axis of ONE min-plus scan and share the window. r0/c0 are
+    dynamic and must be pre-clipped to [0, H-hq] x [0, W-wq]. Cost
+    O(C*hq*wq*W) regardless of how WIDE the field is -- the per-leaf
+    grasp fields (grasp_point_selector.py:266,611-628) are consumed
+    only inside the leaf bbox, where the banded sweep's band collapses
+    to full width exactly when the leaf is isolated; this path's cost
+    is set by the bbox instead. Returns the (hq, wq) / (C, hq, wq)
+    block(s).
+    """
+    squeeze = g2.ndim == 2
+    if squeeze:
+        g2 = g2[None]
+    c, h, w = g2.shape
+    hq, wq = min(hq, h), min(wq, w)
+    big = jnp.float32((h + w) * (h + w))
+    r0 = jnp.asarray(r0, jnp.int32)
+    c0 = jnp.asarray(c0, jnp.int32)
+    g2r = jax.lax.dynamic_slice(g2, (jnp.int32(0), r0, jnp.int32(0)),
+                                (c, hq, w)).reshape(c * hq, w)
+
+    n_chunks = -(-w // chunk)
+    pad = n_chunks * chunk - w
+    g2p = jnp.pad(g2r, ((0, 0), (0, pad)), constant_values=big)
+    colp = jnp.pad(jnp.arange(w, dtype=jnp.float32), (0, pad),
+                   constant_values=jnp.float32(-10 * w))
+    qcols = c0.astype(jnp.float32) + jnp.arange(wq, dtype=jnp.float32)
+    blocks = jnp.moveaxis(g2p.reshape(c * hq, n_chunks, chunk), 1, 0)
+    colc = colp.reshape(n_chunks, chunk)
+
+    def body(carry, inputs):
+        g2_blk, col_blk = inputs                  # (C*hq, Ck), (Ck,)
+        off = (qcols[None, :] - col_blk[:, None]) ** 2      # (Ck, wq)
+        cand = jnp.min(g2_blk[:, :, None] + off[None, :, :], axis=1)
+        return jnp.minimum(carry, cand), None
+
+    init = jnp.full((c * hq, wq), big, jnp.float32)
+    d2, _ = jax.lax.scan(body, init, (blocks, colc))
+    d2 = d2.reshape(c, hq, wq)
+    return d2[0] if squeeze else d2
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "k", "chunk"))
+def edt_max_argmax_batch(g2: jnp.ndarray, stride: int = 8,
+                         k: int = 2048, chunk: int = 512,
+                         constant_field: jnp.ndarray | None = None):
+    """Per-channel exact ``(max, argmax)`` of the EDTs whose pass-1
+    squared fields are ``g2``: (C, H, W) -> ((C,) f32, (C,) int32).
+
+    Same sampled-envelope + Lipschitz-refinement method as
+    ``edt_max_argmax`` (see there for the exactness argument), but ONE
+    shared min-plus scan evaluates all channels' envelopes (rows are
+    independent, so channels stack into the row axis), amortizing the
+    scan overhead across the union mode's three wide fields
+    (dist_outside + the two interference fields,
+    grasp_point_selector.py:538,611-617). Seed masks are not needed:
+    the constant-field guards derive from g2 (all-seed <=> g2 == 0
+    everywhere; seedless <=> no column anywhere holds a seed).
+
+    constant_field: optional (C,) bool -- channels the CALLER knows
+    produce a constant field (e.g. seedless interference channels on a
+    single-leaf frame, where a shifted-sentinel g2 defeats the derived
+    guard). True skips the exact-fallback for that channel; the
+    primary branch is exact on constants regardless of top-k ties.
+    """
+    c, h, w = g2.shape
+    g2 = jnp.asarray(g2, jnp.float32)
+
+    js = np.unique(np.concatenate([np.arange(0, w, stride),
+                                   [w - 1]])).astype(np.int32)
+    ws = int(js.size)
+    slack = stride // 2
+    jsf = jnp.asarray(js, jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+
+    # --- shared pass A: envelopes at sampled columns (C*H, ws) ----------
+    nc = -(-w // chunk)
+    big = jnp.float32((h + w) * (h + w))
+    flat = g2.reshape(c * h, w)
+    g2p = jnp.pad(flat, ((0, 0), (0, nc * chunk - w)),
+                  constant_values=big)
+    colp = jnp.pad(cols, (0, nc * chunk - w),
+                   constant_values=jnp.float32(-10 * w))
+    blocks = jnp.moveaxis(g2p.reshape(c * h, nc, chunk), 1, 0)
+    colc = colp.reshape(nc, chunk)
+
+    def body(carry, inputs):
+        g2_blk, col_blk = inputs
+        off = (jsf[:, None] - col_blk[None, :]) ** 2
+        cand = jnp.min(g2_blk[:, None, :] + off[None, :, :], axis=-1)
+        return jnp.minimum(carry, cand), None
+
+    init = jnp.full((c * h, ws), big, jnp.float32)
+    d2s, _ = jax.lax.scan(body, init, (blocks, colc))
+    ds = jnp.sqrt(d2s).reshape(c, h, ws)
+
+    # --- per-channel coverage check + refinement / exact fallback -------
+    kk = min(k, h * ws)
+    win = jnp.arange(-slack, slack + 1, dtype=jnp.int32)
+    jsi = jnp.asarray(js, jnp.int32)
+    maxes, argmaxes = [], []
+    for ci in range(c):
+        dsc = ds[ci]
+        g2c = g2[ci]
+        m_low = jnp.max(dsc)
+        vals, flat_idx = jax.lax.top_k(dsc.ravel(), kk)
+        if kk == h * ws:
+            covered = jnp.bool_(True)
+        else:
+            covered = vals[kk - 1] < m_low - (slack + 0.01)
+            # constant fields (seedless / all-seed) are exact in the
+            # primary branch regardless of which ties top_k kept
+            seedless = ~jnp.any(g2c < big)
+            all_seed = ~jnp.any(g2c > 0)
+            covered = covered | seedless | all_seed
+            if constant_field is not None:
+                covered = covered | constant_field[ci]
+
+        def refined(_, dsc=dsc, g2c=g2c, flat_idx=flat_idx):
+            rows = flat_idx // ws
+            scols = jsi[flat_idx % ws]
+            jwin = jnp.clip(scols[:, None] + win[None, :], 0, w - 1)
+            g2rows = jnp.take(g2c, rows, axis=0)
+            offr = (jwin[:, :, None].astype(jnp.float32)
+                    - cols[None, None, :]) ** 2
+            d2r = jnp.min(g2rows[:, None, :] + offr, axis=-1)
+            dr = jnp.sqrt(d2r)
+            mx = jnp.max(dr)
+            flat_pix = rows[:, None] * w + jwin
+            amax = jnp.min(jnp.where(dr == mx, flat_pix,
+                                     jnp.int32(h * w)))
+            return mx, amax.astype(jnp.int32)
+
+        def full_sweep(_, g2c=g2c):
+            d = jnp.sqrt(squared_edt_full(
+                jnp.zeros((h, w), bool), g2=g2c))
+            return jnp.max(d), jnp.argmax(d).astype(jnp.int32)
+
+        mx, am = jax.lax.cond(covered, refined, full_sweep, operand=None)
+        maxes.append(mx)
+        argmaxes.append(am)
+    return jnp.stack(maxes), jnp.stack(argmaxes)
 
 
 def signed_edt(mask: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:

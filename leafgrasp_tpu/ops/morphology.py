@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["elliptical_kernel", "rect_kernel", "dilate", "erode",
-           "morphological_boundary"]
+           "morphological_boundary", "dilated_vertical_dist"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -155,3 +155,79 @@ def morphological_boundary(mask: jnp.ndarray,
         kernel = elliptical_kernel(3, 3)
     m = jnp.asarray(mask, bool)
     return m & ~erode(m, kernel)
+
+
+def _col_runs(kernel: np.ndarray):
+    """Decompose a 0/1 SE into per-COLUMN contiguous vertical runs.
+
+    With anchor (ay, ax) = (kh//2, kw//2), the dilation covers, via
+    kernel column j (offset dx = j - ax, vertical run rows
+    [i0, i1]), the rows [s - (i1 - ay), s + (ay - i0)] around every
+    seed s of source column x + dx. Returns tuples
+    (dx, up_reach, dn_reach) = (j - ax, ay - i0, i1 - ay); every run
+    must straddle the anchor row (true for ellipse/rect kernels, whose
+    anchor row is full width) -- required by the clamp identity in
+    ``dilated_vertical_dist``.
+    """
+    kh, kw = kernel.shape
+    ay, ax = kh // 2, kw // 2
+    runs = []
+    for j in range(kw):
+        rows = np.flatnonzero(kernel[:, j])
+        if rows.size == 0:
+            continue
+        if not np.array_equal(rows, np.arange(rows[0], rows[-1] + 1)):
+            raise ValueError("SE columns must be contiguous")
+        up, dn = ay - int(rows[0]), int(rows[-1]) - ay
+        if up < 0 or dn < 0:
+            raise ValueError("SE column must straddle the anchor row")
+        runs.append((j - ax, up, dn))
+    return runs
+
+
+def _shift_cols_i(arr: jnp.ndarray, dx: int, fill) -> jnp.ndarray:
+    """out[:, x] = arr[:, x + dx], `fill` where OOB (static dx)."""
+    if dx == 0:
+        return arr
+    h = arr.shape[0]
+    pad = jnp.full((h, abs(dx)), fill, arr.dtype)
+    if dx > 0:
+        return jnp.concatenate([arr[:, dx:], pad], axis=1)
+    return jnp.concatenate([pad, arr[:, :dx]], axis=1)
+
+
+def dilated_vertical_dist(d_up: jnp.ndarray, d_dn: jnp.ndarray,
+                          kernel: np.ndarray) -> jnp.ndarray:
+    """Vertical nearest-seed distances of ``dilate(mask, kernel)``
+    WITHOUT materializing the dilation.
+
+    d_up/d_dn: directional vertical distances of the UNDILATED mask
+    (``edt.directional_seed_dist_1d(mask, axis=0)``). The dilated
+    set's column x receives, from kernel column dx with vertical run
+    [-up, +dn] around the anchor, the interval [s - dn, s + up] for
+    every seed s of source column x + dx; the distance from row i to
+    that interval is max(0, d_dn - dn) below and max(0, d_up - up)
+    above (nearest seed per direction is optimal by monotonicity).
+    The result equals
+    ``nearest_seed_dist_1d(dilate(mask, kernel), axis=0)`` exactly --
+    it feeds the interference-field EDTs
+    (grasp_point_selector.py:607-610 dilate -> distanceTransform)
+    while skipping both the dilation and its own pass-1 scan.
+
+    Returns int32 (H, W); the no-seed sentinel H + W carries through
+    (reaches <= kernel size << H keep it above any true distance).
+    """
+    runs = _col_runs(np.asarray(kernel))
+    d_up = jnp.asarray(d_up, jnp.int32)
+    d_dn = jnp.asarray(d_dn, jnp.int32)
+    h, w = d_up.shape
+    big = jnp.int32(h + w)
+    out = jnp.full((h, w), big, jnp.int32)
+    zero = jnp.int32(0)
+    for dx, up, dn in runs:
+        du = _shift_cols_i(d_up, dx, big)
+        dd = _shift_cols_i(d_dn, dx, big)
+        cand = jnp.minimum(jnp.maximum(du - up, zero),
+                           jnp.maximum(dd - dn, zero))
+        out = jnp.minimum(out, cand)
+    return out

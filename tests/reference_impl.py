@@ -102,16 +102,43 @@ def _pareto(s):
 
 # ----------------------------------------------------------------- grasp --
 
+def min_area_rect_angle_cv2(leaf_mask):
+    """The reference's orientation source: cv2.minAreaRect of the
+    largest external contour (grasp_point_selector.py:718-752),
+    normalized to the major-axis direction in radians."""
+    m8 = np.asarray(leaf_mask, np.uint8)
+    contours, _ = cv2.findContours(m8, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_NONE)
+    if not contours:
+        return None
+    contour = max(contours, key=cv2.contourArea)
+    rect = cv2.minAreaRect(contour)
+    size, angle = rect[1], rect[2]
+    if size[0] < size[1]:
+        angle = angle + 90
+    return float(np.deg2rad(angle))
+
+
 def grasp_scores_reference(leaf_mask, all_mask, depth, cx, cy, f,
-                           mode="exact", angle=None):
+                           mode="exact", angle="min_area_rect"):
     """reference grasp_point_selector.py:256-288,502-701 as plain numpy.
 
-    `angle`: major-axis direction (radians). If None, computed by PCA
-    (matching leafgrasp_tpu); pass a minAreaRect-derived angle to probe
-    the orientation divergence.
+    `angle`: major-axis direction (radians) for the sdf alignment term.
+    Default "min_area_rect" computes it the way the reference does
+    (cv2.minAreaRect of the largest contour,
+    grasp_point_selector.py:553-558); pass "pca" for the moment-PCA
+    estimate (the leafgrasp_tpu orientation_source="pca" option), or a
+    float to pin it (e.g. the framework's own sweep angle for bit-level
+    downstream comparisons).
     """
     m8 = leaf_mask.astype(np.uint8)
     h, w = leaf_mask.shape
+    if angle == "min_area_rect":
+        # empty-mask fallback angle is arbitrary: every consumer is
+        # masked by the (empty) leaf
+        angle = min_area_rect_angle_cv2(leaf_mask) or 0.0
+    elif angle == "pca":
+        angle = None
     ys_g, xs_g = np.indices((h, w)).astype(np.float64)
 
     # sdf_score

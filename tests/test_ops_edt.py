@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 import cv2
 import scipy.ndimage as ndi
 
@@ -210,3 +212,80 @@ class TestFmmVsExactEdt:
                     best, best_score = lid, s
             choice[name] = best
         assert choice["edt"] == choice["fmm"]
+
+
+# ---------------------------------------------------------------------------
+# exact-extrema-without-field + windowed pass-2 (round 2 fps work)
+
+
+class TestMaxArgmaxAndWindow:
+    """edt_max_argmax(_batch) and squared_edt_window are exact vs the
+    full sweep on adversarial layouts (constant fields, near-max
+    plateaus, single pixels)."""
+
+    def _cases(self):
+        rng = np.random.default_rng(11)
+        h, w = 83, 127
+        yield np.zeros((h, w), bool)
+        yield np.ones((h, w), bool)
+        one = np.zeros((h, w), bool)
+        one[40, 60] = True
+        yield one                                  # radial plateau of ties
+        edge = np.zeros((h, w), bool)
+        edge[:, 0] = True
+        yield edge                                 # max on the far column
+        for p in (0.001, 0.05, 0.5):
+            yield rng.random((h, w)) < p
+
+    def test_max_argmax_exact(self):
+        from leafgrasp_tpu.ops.edt import edt_max_argmax, squared_edt_full
+        for seeds in self._cases():
+            d = jnp.sqrt(squared_edt_full(jnp.asarray(seeds)))
+            mx, am = edt_max_argmax(jnp.asarray(seeds))
+            assert np.asarray(mx) == np.asarray(jnp.max(d))
+            assert int(am) == int(jnp.argmax(d))
+
+    def test_max_argmax_batch_matches_single(self):
+        from leafgrasp_tpu.ops.edt import (edt_max_argmax_batch,
+                                           nearest_seed_dist_1d,
+                                           squared_edt_full)
+        seeds = np.stack(list(self._cases())[:4])
+        g = nearest_seed_dist_1d(jnp.asarray(seeds),
+                                 axis=1).astype(jnp.float32)
+        mx, am = edt_max_argmax_batch(g * g)
+        for c in range(seeds.shape[0]):
+            d = jnp.sqrt(squared_edt_full(jnp.asarray(seeds[c])))
+            assert np.asarray(mx)[c] == np.asarray(jnp.max(d))
+            assert int(np.asarray(am)[c]) == int(jnp.argmax(d))
+
+    def test_window_matches_full_block(self):
+        from leafgrasp_tpu.ops.edt import (nearest_seed_dist_1d,
+                                           squared_edt_full,
+                                           squared_edt_window)
+        rng = np.random.default_rng(5)
+        h, w = 83, 127
+        seeds = rng.random((h, w)) < 0.01
+        g = nearest_seed_dist_1d(jnp.asarray(seeds),
+                                 axis=0).astype(jnp.float32)
+        g2 = g * g
+        full = np.asarray(squared_edt_full(jnp.asarray(seeds)))
+        for (r0, c0, hq, wq) in [(0, 0, 16, 16), (40, 90, 43, 37),
+                                 (82, 126, 1, 1), (0, 0, 200, 200)]:
+            hqc, wqc = min(hq, h), min(wq, w)
+            r0c, c0c = min(r0, h - hqc), min(c0, w - wqc)
+            blk = np.asarray(squared_edt_window(g2, r0c, c0c, hq, wq))
+            np.testing.assert_array_equal(
+                blk, full[r0c:r0c + hqc, c0c:c0c + wqc])
+
+    def test_band_mask_exact_on_mask(self):
+        from leafgrasp_tpu.ops.edt import squared_edt, squared_edt_full
+        rng = np.random.default_rng(9)
+        h, w = 83, 127
+        seeds = rng.random((h, w)) < 0.005
+        mask = np.zeros((h, w), bool)
+        mask[30:60, 40:80] = True
+        banded = np.asarray(squared_edt(jnp.asarray(seeds),
+                                        band_mask=jnp.asarray(mask)))
+        full = np.asarray(squared_edt_full(jnp.asarray(seeds)))
+        np.testing.assert_array_equal(banded[mask], full[mask])
+        assert np.all(banded >= full - 1e-6)       # overestimate off-mask

@@ -190,3 +190,155 @@ def test_topk_exhaustion_flag():
     out = topk_min_distance(score, valid, k=5, min_distance=10)
     assert bool(out.accepted[0])
     assert int(out.x[0]) == 5 and int(out.y[0]) == 5
+
+
+def test_min_area_rect_matches_cv2():
+    """TPU-native minAreaRect (row-extreme hull candidates -> hull by
+    simultaneous reflex deletion -> exact edge-direction calipers) vs
+    cv2.minAreaRect of the largest contour
+    (grasp_point_selector.py:718-752): the same rectangle -- angle
+    within 0.05 deg, extents/center within 0.51 px (f32 projection
+    rounding) -- except on exact area ties between distinct edge
+    directions, where ours must be at least as tight. Multi-component
+    and holed masks exercise the run-graph component labeling (cv2's
+    RETR_EXTERNAL + max contourArea semantics)."""
+    import cv2
+    import jax.numpy as jnp
+    from leafgrasp_tpu.ops.pca import min_area_rect
+    from leafgrasp_tpu.io.scenes import make_leaf_scene
+
+    cases = []
+    for seed in (0, 2, 6, 9, 25):
+        mask, _ = make_leaf_scene(270, 360, num_leaves=5, seed=seed,
+                                  margin=40)
+        for lid in np.unique(mask):
+            if lid != 0 and (mask == lid).sum() >= 800:
+                cases.append(mask == lid)
+    # synthetic: two components (largest must win) and a holed blob
+    two = np.zeros((120, 160), bool)
+    two[10:30, 10:40] = True           # small
+    two[50:110, 60:150] = True         # large
+    cases.append(two)
+    holed = np.zeros((120, 160), bool)
+    holed[20:100, 30:130] = True
+    holed[40:80, 60:100] = False
+    cases.append(holed)
+
+    for m in cases:
+        m8 = m.astype(np.uint8)
+        cont, _ = cv2.findContours(m8, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_NONE)
+        c = max(cont, key=cv2.contourArea)
+        rect = cv2.minAreaRect(c)
+        size, ang = rect[1], rect[2]
+        if size[0] < size[1]:
+            ang += 90
+        ang = np.deg2rad(ang)
+        o = min_area_rect(m)
+        assert bool(o.valid)
+        da = float(jnp.abs(((o.angle - ang + np.pi / 2) % np.pi)
+                           - np.pi / 2)) * 180 / np.pi
+        ours_area = float(o.major_axis) * float(o.minor_axis)
+        cv2_area = size[0] * size[1]
+        assert da < 0.05 or ours_area <= cv2_area + 1e-2, \
+            f"angle diff {da:.2f} deg with worse area {ours_area} vs {cv2_area}"
+        if da < 0.05:
+            assert abs(float(o.major_axis) - max(size)) < 0.51
+            assert abs(float(o.minor_axis) - min(size)) < 0.51
+            assert np.hypot(float(o.center[0]) - rect[0][0],
+                            float(o.center[1]) - rect[0][1]) < 0.51
+
+
+def test_min_area_rect_empty_and_full():
+    from leafgrasp_tpu.ops.pca import min_area_rect
+    o = min_area_rect(np.zeros((40, 50), bool))
+    assert not bool(o.valid)
+    o = min_area_rect(np.ones((40, 50), bool))
+    assert bool(o.valid)
+    assert abs(float(o.major_axis) - 49.0) < 1.0
+    assert abs(float(o.minor_axis) - 39.0) < 1.0
+    # degenerate geometries: line masks give zero-width rects
+    line = np.zeros((40, 50), bool)
+    line[20, 5:45] = True
+    o = min_area_rect(line)
+    assert abs(float(o.major_axis) - 39.0) < 0.51
+    assert float(o.minor_axis) < 1e-4
+    diag = np.zeros((60, 60), bool)
+    for i in range(40):
+        diag[10 + i, 10 + i] = True
+    o = min_area_rect(diag)
+    da = abs(((float(o.angle) - np.pi / 4 + np.pi / 2) % np.pi)
+             - np.pi / 2)
+    assert da < 1e-4 and float(o.minor_axis) < 1e-3
+
+
+def test_largest_component_labeling_adversarial():
+    """Run-graph component labeling vs scipy 8-connected labeling on
+    shapes built to break first-overlap linking: spirals, combs,
+    diagonal chains, and random speckle. The winner's per-row extremes
+    must equal scipy's largest component's."""
+    import scipy.ndimage as ndi
+    import jax.numpy as jnp
+    from leafgrasp_tpu.ops.pca import _largest_component_extremes
+
+    rng = np.random.default_rng(3)
+    masks = []
+    # spiral
+    sp = np.zeros((64, 64), bool)
+    x0, x1, y0, y1 = 2, 61, 2, 61
+    while x1 - x0 > 6:
+        sp[y0, x0:x1] = True
+        sp[y0:y1, x1 - 1] = True
+        sp[y1 - 1, x0:x1] = True
+        sp[y0 + 2:y1, x0] = True
+        x0 += 4; x1 -= 4; y0 += 4; y1 -= 4
+    masks.append(sp)
+    # comb: teeth joined only at the bottom bar
+    comb = np.zeros((50, 80), bool)
+    comb[45:48, 4:76] = True
+    for t in range(4, 76, 6):
+        comb[5:45, t:t + 2] = True
+    masks.append(comb)
+    # diagonal single-pixel chain (8-conn through corners only)
+    dg = np.zeros((48, 48), bool)
+    for i in range(40):
+        dg[4 + i, 4 + i] = True
+    dg[30:40, 4:10] = True      # a bigger second component
+    masks.append(dg)
+    # random speckle (many components, ties possible)
+    masks.append(rng.random((60, 90)) < 0.35)
+    masks.append(rng.random((40, 200)) < 0.55)
+
+    for m in masks:
+        lab, n = ndi.label(m, structure=np.ones((3, 3)))
+        sizes = ndi.sum_labels(m, lab, index=np.arange(1, n + 1))
+        res = _largest_component_extremes(jnp.asarray(m), 64, max_runs=4096)
+        xmin, xmax, valid = (np.asarray(res[0]), np.asarray(res[1]),
+                             bool(res[2]))
+        assert valid
+        cols = np.arange(m.shape[1])
+        # any component tied for the max size is an acceptable winner
+        tied = [i + 1 for i in range(n) if sizes[i] == sizes.max()]
+        matched = False
+        for cid in tied:
+            big = lab == cid
+            exp_min = np.where(big.any(1),
+                               np.where(big, cols, 10**6).min(1), 1 << 20)
+            exp_max = np.where(big.any(1),
+                               np.where(big, cols, -1).max(1), -1)
+            if np.array_equal(xmin, exp_min) and \
+                    np.array_equal(xmax, exp_max):
+                matched = True
+                break
+        assert matched, "winner extremes match no max-size component"
+
+
+def test_largest_component_overflow_flag():
+    from leafgrasp_tpu.ops.pca import _largest_component_extremes
+    import jax.numpy as jnp
+    m = np.zeros((8, 64), bool)
+    m[3, ::4] = True       # 16 runs in one row
+    _, _, valid = _largest_component_extremes(jnp.asarray(m), 8)
+    assert not bool(valid)
+    _, _, valid = _largest_component_extremes(jnp.asarray(m), 16)
+    assert bool(valid)

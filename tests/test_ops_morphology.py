@@ -62,3 +62,31 @@ def test_boundary_band(small_scene):
     band = np.asarray(morphological_boundary(m))
     assert band.sum() > 0
     assert (band & ~m).sum() == 0  # band lies inside the mask
+
+
+def test_dilated_vertical_dist_matches_dilate_then_scan():
+    """dilated_vertical_dist == pass-1 of the materialized dilation
+    (the identity that lets the interference EDTs skip the dilations,
+    grasp_point_selector.py:607-610), checked via the final EDT field
+    which is what consumers see."""
+    import jax.numpy as jnp
+    from leafgrasp_tpu.ops.edt import (directional_seed_dist_1d,
+                                       squared_edt_full)
+    from leafgrasp_tpu.ops.morphology import (dilate,
+                                              dilated_vertical_dist,
+                                              elliptical_kernel,
+                                              rect_kernel)
+    rng = np.random.default_rng(2)
+    h, w = 67, 91
+    for p in (0.003, 0.05, 0.4):
+        mask = rng.random((h, w)) < p
+        du, dd = directional_seed_dist_1d(jnp.asarray(mask), axis=0)
+        for K in (elliptical_kernel(3), elliptical_kernel(30),
+                  elliptical_kernel(40), elliptical_kernel(7, 13),
+                  rect_kernel(5)):
+            g = dilated_vertical_dist(du, dd, K).astype(jnp.float32)
+            got = np.asarray(squared_edt_full(
+                jnp.zeros((h, w), bool), g2=g * g))
+            want = np.asarray(squared_edt_full(
+                jnp.asarray(dilate(mask, K))))
+            np.testing.assert_array_equal(got, want)
