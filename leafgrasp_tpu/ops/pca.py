@@ -83,6 +83,25 @@ def mask_orientation(mask: jnp.ndarray, reduce_fn=None,
     )
 
 
+def _mask_row_runs(m: jnp.ndarray, rpr: int):
+    """Per-row mask runs: ([xl, xr] slot arrays (h, rpr) ascending,
+    per-row run counts). Purely local to the rows given -- the
+    row-sharded pipeline computes this on each shard's block and
+    all_gathers the (tiny) results before the global component graph
+    (``_largest_component_extremes_from_runs``)."""
+    h, w = m.shape
+    rpr = min(rpr, (w + 1) // 2)       # a row fits at most ceil(w/2) runs
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    no_left = jnp.roll(m, 1, axis=1).at[:, 0].set(False)
+    no_right = jnp.roll(m, -1, axis=1).at[:, w - 1].set(False)
+    starts = m & ~no_left
+    ends = m & ~no_right
+    inval = jnp.int32(w + 1)
+    xl = -jax.lax.top_k(jnp.where(starts, -xs, -inval), rpr)[0]  # (h,rpr)
+    xr = -jax.lax.top_k(jnp.where(ends, -xs, -inval), rpr)[0]
+    return xl, xr, jnp.sum(starts, axis=1)
+
+
 def _largest_component_extremes(m: jnp.ndarray, rpr: int,
                                 max_runs: int = 512):
     """Per-row [xmin, xmax] of the LARGEST 8-connected component.
@@ -111,18 +130,21 @@ def _largest_component_extremes(m: jnp.ndarray, rpr: int,
     ``max_runs`` total -- overflow: the result is flagged invalid
     (third return value False) rather than silently wrong.
     """
-    h, w = m.shape
-    rpr = min(rpr, (w + 1) // 2)       # a row fits at most ceil(w/2) runs
-    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
-    no_left = jnp.roll(m, 1, axis=1).at[:, 0].set(False)
-    no_right = jnp.roll(m, -1, axis=1).at[:, w - 1].set(False)
-    starts = m & ~no_left
-    ends = m & ~no_right
+    xl, xr, nrow = _mask_row_runs(m, rpr)
+    return _largest_component_extremes_from_runs(xl, xr, nrow,
+                                                 m.shape[1], max_runs)
+
+
+def _largest_component_extremes_from_runs(xl, xr, nrow, w: int,
+                                          max_runs: int = 512):
+    """Global half of ``_largest_component_extremes``: run-graph
+    labeling + winner extremes from already-extracted per-row runs
+    (possibly all_gathered across row shards). See the docstring
+    above for the algorithm and correctness argument."""
+    h, rpr = xl.shape
     inval = jnp.int32(w + 1)
-    xl = -jax.lax.top_k(jnp.where(starts, -xs, -inval), rpr)[0]  # (h,rpr)
-    xr = -jax.lax.top_k(jnp.where(ends, -xs, -inval), rpr)[0]
     run_ok = xl < inval
-    overflow = jnp.any(jnp.sum(starts, axis=1) > rpr)
+    overflow = jnp.any(nrow > rpr)
 
     def first_overlap(xl_o, xr_o, ok_o, row_shift):
         """index of the first run in the +-1-shifted row that
@@ -158,7 +180,7 @@ def _largest_component_extremes(m: jnp.ndarray, rpr: int,
         jnp.arange(maxr, dtype=jnp.int32))   # flat -> compact
     up_c = jnp.take(lut, jnp.take(up, cclip))
     dn_c = jnp.take(lut, jnp.take(dn, cclip))
-    overflow = overflow | (jnp.sum(starts) > maxr)
+    overflow = overflow | (jnp.sum(nrow) > maxr)
 
     init = jnp.arange(maxr, dtype=jnp.int32)
 
@@ -192,7 +214,7 @@ def _largest_component_extremes(m: jnp.ndarray, rpr: int,
         jnp.where(winner, xl_c, bigx))
     xmax_r = jnp.full((h,), jnp.int32(-1)).at[crow].max(
         jnp.where(winner, xr_c, -1))
-    return xmin_r, xmax_r, jnp.any(m) & ~overflow
+    return xmin_r, xmax_r, jnp.any(nrow > 0) & ~overflow
 
 
 def min_area_rect(mask: jnp.ndarray,
@@ -254,6 +276,16 @@ def min_area_rect(mask: jnp.ndarray,
         xmin_r = jnp.min(jnp.where(m, cols, bigx), axis=1)
         xmax_r = jnp.max(jnp.where(m, cols, -1), axis=1)
         valid_m = jnp.any(m)
+    return _rect_from_row_extremes(xmin_r, xmax_r, w, valid_m)
+
+
+def _rect_from_row_extremes(xmin_r, xmax_r, w: int, valid_m):
+    """Exact min-area rectangle (hull by reflex deletion + calipers)
+    from per-row [xmin, xmax] extremes -- steps 2-3 of the
+    ``min_area_rect`` docstring. Row index IS the y coordinate, so the
+    row-sharded pipeline can call this replicated on all_gathered
+    extremes."""
+    h = xmin_r.shape[0]
     rows = jnp.arange(h, dtype=jnp.int32)
     row_ok = xmax_r >= 0
     cx_ = jnp.concatenate([xmin_r, xmax_r])

@@ -60,7 +60,9 @@ from leafgrasp_tpu.ops.conv import flatness_from_depth
 from leafgrasp_tpu.ops.edt import squared_edt
 from leafgrasp_tpu.ops.morphology import (elliptical_kernel, _row_runs,
                                           _directional_hdist)
-from leafgrasp_tpu.ops.pca import mask_orientation
+from leafgrasp_tpu.ops.pca import (mask_orientation, _mask_row_runs,
+                                   _largest_component_extremes_from_runs,
+                                   _rect_from_row_extremes)
 from leafgrasp_tpu.ops.topk import Candidates
 from leafgrasp_tpu.pipeline.frame import FrameResult
 from leafgrasp_tpu.pipeline.fusion import fuse_candidates
@@ -322,7 +324,22 @@ def make_sharded_frame_fn(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
 
         sdf_raw = din - dout
         norm_max = jax.lax.pmax(jnp.max(jnp.abs(sdf_raw)), ax)
-        orient = mask_orientation(leaf, reduce_fn=psum, row0=row0)
+        if cfg.grasp.orientation_source == "min_area_rect":
+            # local per-row runs (lax.top_k on the shard's block), then
+            # ONE tiny all_gather -- (h, 16) int32 endpoints, ~100 KB at
+            # production scale -- and the run-graph labeling + hull
+            # calipers run replicated on every device: identical to the
+            # single-chip exact minAreaRect (ops/pca.min_area_rect)
+            xl_l, xr_l, nrow_l = _mask_row_runs(leaf, 16)
+            xl_f = jax.lax.all_gather(xl_l, ax, tiled=True)
+            xr_f = jax.lax.all_gather(xr_l, ax, tiled=True)
+            nrow_f = jax.lax.all_gather(nrow_l, ax, tiled=True)
+            xmin_r, xmax_r, valid_m = \
+                _largest_component_extremes_from_runs(xl_f, xr_f,
+                                                      nrow_f, w)
+            orient = _rect_from_row_extremes(xmin_r, xmax_r, w, valid_m)
+        else:
+            orient = mask_orientation(leaf, reduce_fn=psum, row0=row0)
         close_max = jax.lax.pmax(jnp.max(dclose), ax)
         wide_max = jax.lax.pmax(jnp.max(dwide), ax)
         stem = stem_penalty_map(

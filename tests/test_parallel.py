@@ -225,3 +225,41 @@ def test_sharded_frame_pallas_scoring_matches_oracle():
     np.testing.assert_allclose(np.asarray(r_k.fusion.combined),
                                np.asarray(r_o.fusion.combined),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_frame_production_scale_matches_unsharded():
+    """Full production-scale (1080x1440, min_area 10000, production
+    camera) row-sharded frame on the 8-way mesh vs the single-chip
+    pipeline: identical leaf, grasp pixel, 3D grasp and pre-grasp.
+    Covers the exact-minAreaRect orientation path (local _row_runs +
+    all_gather + replicated hull) at the scale the reference node
+    operates (leaf_grasp_node_v3.py:31-37)."""
+    from leafgrasp_tpu.config import (PipelineConfig, FrameConfig,
+                                      LeafSelectionConfig)
+    from leafgrasp_tpu.models.grasp_cnn import init_grasp_cnn
+    from leafgrasp_tpu.parallel.spatial_frame import make_sharded_frame_fn
+    from leafgrasp_tpu.pipeline.frame import make_frame_fn
+    cfg = PipelineConfig(
+        frame=FrameConfig(height=1080, width=1440, max_leaves=8),
+        leaf=LeafSelectionConfig(min_leaf_area=10000))
+    mask, depth = make_leaf_scene(1080, 1440, num_leaves=6, seed=8,
+                                  margin=120)
+    cx, cy, f = (np.float32(707.87), np.float32(494.07),
+                 np.float32(1750.68))
+    _, variables = init_grasp_cnn(jax.random.PRNGKey(0), cfg.model)
+    mesh = make_mesh(8, model_axis=1)
+    r_sh = make_sharded_frame_fn(mesh, cfg, with_cnn=True)(
+        mask, depth, cx, cy, f, variables)
+    r_un = make_frame_fn(cfg, with_cnn=True, use_pallas=False)(
+        mask, depth, cx, cy, f, variables)
+    assert int(r_sh.leaf_id) == int(r_un.leaf_id)
+    np.testing.assert_array_equal(np.asarray(r_sh.grasp_uv),
+                                  np.asarray(r_un.grasp_uv))
+    assert bool(r_sh.ml_used) == bool(r_un.ml_used)
+    np.testing.assert_allclose(np.asarray(r_sh.grasp_xyz),
+                               np.asarray(r_un.grasp_xyz), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_sh.pre_grasp_xyz),
+                               np.asarray(r_un.pre_grasp_xyz), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_sh.fusion.combined),
+                               np.asarray(r_un.fusion.combined),
+                               rtol=1e-4, atol=1e-5)

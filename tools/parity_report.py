@@ -40,9 +40,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
 
 GOLDEN = {
-    "scenes": [(s, 4) for s in (0, 1, 3, 5, 7, 11, 13, 17, 19, 23)]
-    + [(s, 6) for s in (2, 4, 8, 10, 14, 16, 20, 22)]
-    + [(s, 8) for s in (6, 9, 15, 18)]
+    # Scenes chosen so degenerate frames (empty valid region after the
+    # min_edge_distance erosion; the reference publishes a zero-score
+    # pixel there) are the EXCEPTION, as at production scale: r1's set
+    # had 8/26 degenerate at 270x360, these swaps (same leaf-count
+    # distribution, scanned via tools-free pipeline runs) leave 1/26
+    # kept intentionally as the degenerate-path regression scene.
+    "scenes": [(s, 4) for s in (0, 30, 3, 5, 7, 11, 13, 17, 19, 23)]
+    + [(s, 6) for s in (29, 31, 8, 33, 14, 16, 20, 22)]
+    + [(s, 8) for s in (2, 9, 34, 36)]
     + [(s, 3) for s in (25, 26, 27, 28)],
     "h": 270, "w": 360, "cx": 180.0, "cy": 135.0, "f": 800.0,
     "area": 1500, "margin": 40, "out": "PARITY.json",
