@@ -36,8 +36,17 @@ class LlavaLoRATrainer:
 
     def __init__(self, model: LlavaJax, variables, tokenizer,
                  learning_rate: float = 5e-5, seed: int = 0,
-                 max_len: int = 576):
-        assert model.cfg.lora_rank > 0, "build the model with lora_rank>0"
+                 max_len: int = 576, train_full: bool = False):
+        """train_full=True updates ALL parameters instead of adapter
+        leaves -- the pretraining mode used to produce a base with real
+        scoring skill before LoRA tuning (the tiny-scale analogue of
+        starting from the pretrained LLaVA checkpoint; a random frozen
+        base gives LoRA nothing to steer, PERF.md 'VLA fine-tuning
+        sweep')."""
+        self.train_full = train_full
+        if not train_full:
+            assert model.cfg.lora_rank > 0, \
+                "build the model with lora_rank>0 (or train_full=True)"
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -81,11 +90,14 @@ class LlavaLoRATrainer:
     # ------------------------------------------------------------ train --
 
     def _build_step(self):
-        labels = jax.tree.map(lambda m: "lora" if m else "frozen",
-                              lora_mask(self.variables["params"]))
-        tx = optax.multi_transform(
-            {"lora": optax.adamw(self.learning_rate),
-             "frozen": optax.set_to_zero()}, labels)
+        if self.train_full:
+            tx = optax.adamw(self.learning_rate)
+        else:
+            labels = jax.tree.map(lambda m: "lora" if m else "frozen",
+                                  lora_mask(self.variables["params"]))
+            tx = optax.multi_transform(
+                {"lora": optax.adamw(self.learning_rate),
+                 "frozen": optax.set_to_zero()}, labels)
         opt_state = tx.init(self.variables["params"])
         model = self.model
 
