@@ -58,7 +58,7 @@ def main():
     cfg_enh = DEFAULT_CONFIG
     cx, cy, f = np.float32(707.87), np.float32(494.07), np.float32(1750.68)
 
-    per_family = 14
+    per_family = int(os.environ.get("LEAFGRASP_BENCH_PER_FAMILY", "14"))
     frames = []                      # list of (family, mask_dev, depth_dev)
     for name, n_leaves, seed, margin in FAMILIES:
         mask, depth = make_leaf_scene(cfg.frame.height, cfg.frame.width,
