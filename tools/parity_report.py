@@ -54,10 +54,14 @@ GOLDEN = {
     "area": 1500, "margin": 40, "out": "PARITY.json",
 }
 PRODUCTION = {
-    "scenes": [(s, 4) for s in (0, 3, 7, 13)]
-    + [(s, 6) for s in (2, 8, 14, 20)]
-    + [(s, 8) for s in (6, 9, 15, 18)]
-    + [(s, 3) for s in (25, 26, 27, 28)],
+    # all-live set (the degenerate code path is regression-covered by
+    # the golden set's deliberate scene); swaps keep the leaf-count
+    # distribution: (7,4)->(37,4), (2,6)->(39,6), (6,8)->(38,8),
+    # (27,3)->(40,3)
+    "scenes": [(s, 4) for s in (0, 3, 37, 13)]
+    + [(s, 6) for s in (39, 8, 14, 20)]
+    + [(s, 8) for s in (38, 9, 15, 18)]
+    + [(s, 3) for s in (25, 26, 40, 28)],
     "h": 1080, "w": 1440, "cx": 707.87, "cy": 494.07, "f": 1750.68,
     "area": 10000, "margin": 80, "out": "PARITY_production.json",
 }
