@@ -13,7 +13,8 @@ from leafgrasp_tpu.ops.conv import (gaussian_kernel, smooth_depth,
                                     sobel_gradients, flatness_from_depth,
                                     reflect_conv2d, SOBEL_X, SOBEL_Y)
 from leafgrasp_tpu.ops.pareto import pareto_mask
-from leafgrasp_tpu.ops.pca import mask_orientation, Orientation
+from leafgrasp_tpu.ops.pca import (mask_orientation, min_area_rect,
+                                   Orientation)
 from leafgrasp_tpu.ops.components import leaf_stats, LeafStats
 from leafgrasp_tpu.ops.topk import topk_min_distance, Candidates
 
@@ -24,7 +25,7 @@ __all__ = [
     "gaussian_kernel", "smooth_depth", "sobel_gradients",
     "flatness_from_depth", "reflect_conv2d", "SOBEL_X", "SOBEL_Y",
     "pareto_mask",
-    "mask_orientation", "Orientation",
+    "mask_orientation", "min_area_rect", "Orientation",
     "leaf_stats", "LeafStats",
     "topk_min_distance", "Candidates",
 ]

@@ -176,10 +176,17 @@ def _largest_component_extremes_from_runs(xl, xr, nrow, w: int,
     cflat = -jax.lax.top_k(neg, maxr)[0]     # ascending flat indices
     cok = cflat < nflat
     cclip = jnp.where(cok, cflat, 0)
-    lut = jnp.full((nflat,), jnp.int32(0)).at[cclip].set(
-        jnp.arange(maxr, dtype=jnp.int32))   # flat -> compact
-    up_c = jnp.take(lut, jnp.take(up, cclip))
-    dn_c = jnp.take(lut, jnp.take(dn, cclip))
+    # flat -> compact map. Invalid compact slots' indices are OUT OF
+    # BOUNDS and must be DROPPED, not clamped or defaulted to 0: a
+    # duplicate write at 0 would corrupt the mapping for a real run in
+    # frame row 0 (XLA scatter order with duplicates is undefined) and
+    # silently split that run's component.
+    lut = jnp.full((nflat,), jnp.int32(0)).at[cflat].set(
+        jnp.arange(maxr, dtype=jnp.int32), mode="drop")
+    cidx = jnp.arange(maxr, dtype=jnp.int32)
+    # invalid compact slots self-link so they never touch real labels
+    up_c = jnp.where(cok, jnp.take(lut, jnp.take(up, cclip)), cidx)
+    dn_c = jnp.where(cok, jnp.take(lut, jnp.take(dn, cclip)), cidx)
     overflow = overflow | (jnp.sum(nrow) > maxr)
 
     init = jnp.arange(maxr, dtype=jnp.int32)

@@ -167,6 +167,11 @@ class GraspService:
         self._latest_rgb = None
         self._frames = 0
         self._stop = threading.Event()
+        # serializes frame processing against stop()/flush() from
+        # another thread (the documented run()-in-a-thread usage):
+        # _inflight and the recorder are shared. RLock because stop()
+        # drains via flush().
+        self._proc_lock = threading.RLock()
 
     # ------------------------------------------------------- callbacks --
 
@@ -204,6 +209,11 @@ class GraspService:
 
     def process_frame(self, mask: np.ndarray, depth: np.ndarray,
                       mask_stamp: int = 0, depth_stamp: int = 0):
+        with self._proc_lock:
+            return self._process_frame_locked(mask, depth, mask_stamp,
+                                              depth_stamp)
+
+    def _process_frame_locked(self, mask, depth, mask_stamp, depth_stamp):
         cam = self.camera
         # ship the mask as int16 (the wire format) -- the jitted pipeline
         # upcasts on device; halves the mask's host->HBM transfer
@@ -275,10 +285,11 @@ class GraspService:
     def flush(self) -> List[dict]:
         """Finalize every in-flight frame (pipeline_depth > 0), in
         frame order. Returns their result dicts."""
-        outs = []
-        while self._inflight:
-            outs.append(self._finalize(*self._inflight.pop(0)))
-        return outs
+        with self._proc_lock:
+            outs = []
+            while self._inflight:
+                outs.append(self._finalize(*self._inflight.pop(0)))
+            return outs
 
     def _vla_rerank(self, res, mask, depth):
         try:
@@ -315,11 +326,14 @@ class GraspService:
     def stop(self):
         self._stop.set()
         # drain dispatched-but-unfinalized frames (pipeline_depth > 0) so
-        # their results publish and reach the recorder before it closes
-        self.flush()
-        if self._recorder is not None:
-            self._recorder.close()
-            self._recorder = None
+        # their results publish and reach the recorder before it closes;
+        # the lock serializes against a run() loop mid-frame in another
+        # thread (its in-progress frame completes and records first)
+        with self._proc_lock:
+            self.flush()
+            if self._recorder is not None:
+                self._recorder.close()
+                self._recorder = None
 
     def stats(self) -> dict:
         return dict(bus=self.bus.stats(), frames=self._frames,

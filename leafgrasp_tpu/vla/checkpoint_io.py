@@ -54,11 +54,20 @@ def _bf16():
 
 
 def read_safetensors(path: str) -> Dict[str, np.ndarray]:
-    """Parse one .safetensors file into name -> numpy array."""
+    """Parse one .safetensors file into name -> numpy array.
+
+    Tensors are zero-copy views over an mmap of the file: a 7B bf16
+    checkpoint (~14 GB) must not be doubled through read()+slice
+    copies. Views stay valid for the mmap's lifetime (the buffer keeps
+    a reference); device_put / astype copies happen downstream only
+    where the caller asks for them.
+    """
+    import mmap as _mmap
     with open(path, "rb") as f:
         (hlen,) = struct.unpack("<Q", f.read(8))
         header = json.loads(f.read(hlen).decode("utf-8"))
-        data = f.read()
+        base = 8 + hlen
+        mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
     out: Dict[str, np.ndarray] = {}
     for name, spec in header.items():
         if name == "__metadata__":
@@ -66,7 +75,8 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
         dt = spec["dtype"]
         dtype = _bf16() if dt == "BF16" else _ST_DTYPES[dt]
         b, e = spec["data_offsets"]
-        arr = np.frombuffer(data[b:e], dtype=dtype)
+        n = (e - b) // np.dtype(dtype).itemsize
+        arr = np.frombuffer(mm, dtype=dtype, count=n, offset=base + b)
         out[name] = arr.reshape(spec["shape"])
     return out
 
@@ -152,6 +162,12 @@ def _fields(buf: bytes) -> Iterator[Tuple[int, int, Any]]:
         yield field, wire, val
 
 
+def _emit_i32(val: int) -> bytes:
+    """protobuf int32: negatives are encoded as 64-bit two's-complement
+    varints (10 bytes), matching the real sentencepiece runtime."""
+    return _emit_varint(val & 0xFFFFFFFFFFFFFFFF if val < 0 else val)
+
+
 def _emit_varint(val: int) -> bytes:
     out = bytearray()
     while True:
@@ -190,10 +206,10 @@ def write_sentencepiece_model(
     mt = {"unigram": 1, "bpe": 2}[model_type]
     trainer = (_emit_field(3, 0, _emit_varint(mt))
                + _emit_field(35, 0, _emit_varint(int(byte_fallback)))
-               + _emit_field(40, 0, _emit_varint(unk_id & 0xFFFFFFFF))
-               + _emit_field(41, 0, _emit_varint(bos_id & 0xFFFFFFFF))
-               + _emit_field(42, 0, _emit_varint(eos_id & 0xFFFFFFFF))
-               + _emit_field(43, 0, _emit_varint(pad_id & 0xFFFFFFFF)))
+               + _emit_field(40, 0, _emit_i32(unk_id))
+               + _emit_field(41, 0, _emit_i32(bos_id))
+               + _emit_field(42, 0, _emit_i32(eos_id))
+               + _emit_field(43, 0, _emit_i32(pad_id)))
     body += _emit_field(2, 2, trainer)
     norm = _emit_field(3, 0, _emit_varint(int(add_dummy_prefix)))
     body += _emit_field(3, 2, norm)
@@ -227,6 +243,11 @@ class SentencePieceTokenizer:
         self.unk_id, self.bos_id, self.eos_id, self.pad_id = 0, 1, 2, -1
 
         def _i32(v: int) -> int:
+            # protobuf int32 negatives arrive as 64-bit two's-complement
+            # varints (pad_id=-1 in real Llama/Mistral tokenizer.model
+            # files is wire value 2^64-1); interpret the low 32 bits as
+            # signed after folding the 64-bit sign
+            v &= 0xFFFFFFFF
             return v - (1 << 32) if v >= (1 << 31) else v
 
         for field, wire, val in _fields(buf):

@@ -222,3 +222,24 @@ def test_scorer_runs_from_disk_checkpoint(tiny_ckpt_dir, monkeypatch):
     scores = scorer.score(img, cands, "pick the best leaf")
     assert len(scores) == 2
     assert all(np.isfinite(s) for s in scores)
+
+
+def test_sentencepiece_negative_int32_ids(tmp_path):
+    """protobuf int32 negatives are 64-bit two's-complement varints on
+    the wire (real Llama/Mistral tokenizer.model files carry
+    pad_id=-1); the reader must fold them back and the writer must emit
+    the conformant 10-byte form."""
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              ("a", -1.0, 1)]
+    p = str(tmp_path / "tok.model")
+    write_sentencepiece_model(p, pieces, model_type="bpe",
+                              byte_fallback=False, pad_id=-1)
+    tok = SentencePieceTokenizer(p)
+    assert tok.pad_id == -1
+    # the wire bytes for pad_id must be the 10-byte sign-extended form
+    raw = open(p, "rb").read()
+    assert bytes([0xFF] * 8 + [0x01]) in raw
+    # a hand-built 64-bit wire value also decodes to -1
+    from leafgrasp_tpu.vla.checkpoint_io import _emit_i32
+    assert _emit_i32(-1) == b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    assert _emit_i32(3) == b"\x03"

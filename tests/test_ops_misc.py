@@ -308,6 +308,19 @@ def test_largest_component_labeling_adversarial():
     # random speckle (many components, ties possible)
     masks.append(rng.random((60, 90)) < 0.35)
     masks.append(rng.random((40, 200)) < 0.55)
+    # leaf touching frame row 0: flat run slot 0 is REAL, so the
+    # compaction LUT must not take duplicate writes at index 0
+    # (regression: links into row 0's leftmost run were corruptible)
+    edge0 = np.zeros((30, 60), bool)
+    edge0[0, 0:51] = True
+    edge0[1, 0:11] = True
+    edge0[1, 20:31] = True
+    edge0[2:11, 20:31] = True      # arm hanging off the SECOND run
+    masks.append(edge0)
+    edge1 = edge0.copy()
+    edge1[0, :] = False
+    edge1[0, 0:5] = True           # two components, small one at (0,0)
+    masks.append(edge1)
 
     for m in masks:
         lab, n = ndi.label(m, structure=np.ones((3, 3)))
