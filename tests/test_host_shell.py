@@ -470,3 +470,44 @@ def test_visualizer_composite_draws_midrib():
     red = (left[:, :, 0] > 200) & (left[:, :, 1] < 80) & \
         (left[:, :, 2] < 80)
     assert red.sum() > 50
+
+
+def test_grasp_service_stop_races_run(tmp_path):
+    """stop() from another thread while a pipelined run() loop is
+    mid-stream: every published frame reaches the recorder before it
+    closes, no exception escapes either thread, and results stay in
+    frame order (regression: _inflight/recorder were mutated without a
+    lock)."""
+    import time
+    from leafgrasp_tpu.io.framelog import FrameLogReader
+    mask, depth = _scene()
+    path = str(tmp_path / "race.fl")
+    results = []
+    errors = []
+    svc = GraspService(CFG, on_result=results.append, min_interval_s=0.0,
+                       pipeline_depth=2, record_path=path)
+
+    def run():
+        try:
+            svc.run(poll_interval_s=0.0005)
+        except Exception as e:          # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=run)
+    t.start()
+    try:
+        for i in range(6):
+            svc.on_mask(np.roll(mask, i, axis=1), stamp_us=i)
+            svc.on_depth(np.roll(depth, i, axis=1), stamp_us=i)
+            time.sleep(0.02)
+    finally:
+        svc.stop()                      # races the loop deliberately
+        t.join(timeout=20)
+    assert not t.is_alive() and not errors
+    # frame order preserved
+    idxs = [r["frame_index"] for r in results]
+    assert idxs == sorted(idxs)
+    # every recorded frame is intact (no append-after-close torn tail)
+    with FrameLogReader(path) as rd:
+        n_rec = sum(1 for _ in rd)
+    assert n_rec >= len(results) > 0
