@@ -485,3 +485,40 @@ def test_decode_mode_steps_equals_scan(tiny_pair):
     b = greedy_generate_llava(model, variables, ids, max_new_tokens=5,
                               pad_lens=pads, decode_mode="steps")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_llava_full_param_pretrain(tiny_pair):
+    """train_full=True updates base weights (the pretraining mode that
+    gives LoRA a base with skill to steer); loss decreases and non-LoRA
+    leaves move."""
+    import jax
+    from leafgrasp_tpu.vla.llava_jax import (LlavaJax,
+                                             convert_hf_llava_state_dict)
+    from leafgrasp_tpu.vla.llava_trainer import LlavaLoRATrainer
+    from leafgrasp_tpu.vla.trainer import make_synthetic_vla_dataset
+    import flax.traverse_util as tu
+    hf, _, _, cfg = tiny_pair
+    model = LlavaJax(cfg)
+    variables = {"params": convert_hf_llava_state_dict(
+        hf.state_dict(), cfg)["params"]}
+
+    class Tok:
+        def encode(self, text):
+            return [1] + [b % 90 + 2 for b in text.encode()][:60]
+
+        def decode(self, ids):
+            return "0.5"
+
+    before = tu.flatten_dict(jax.tree.map(np.asarray, variables["params"]))
+    trainer = LlavaLoRATrainer(model, variables, Tok(),
+                               learning_rate=1e-3, max_len=96,
+                               train_full=True)
+    samples = make_synthetic_vla_dataset(2, seed=0, num_candidates=2,
+                                         image_size=28)
+    out = trainer.fine_tune(samples, epochs=3, batch_size=2)
+    assert np.isfinite(out["final_loss"])
+    assert out["final_loss"] < out["loss_history"][0]
+    after = tu.flatten_dict(trainer.variables["params"])
+    moved = sum(not np.allclose(before[k], np.asarray(after[k]))
+                for k in before)
+    assert moved > len(before) // 2, "full-param mode left weights frozen"
