@@ -263,3 +263,38 @@ def test_sharded_frame_production_scale_matches_unsharded():
     np.testing.assert_allclose(np.asarray(r_sh.fusion.combined),
                                np.asarray(r_un.fusion.combined),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_orientation_fragmented_leaf():
+    """A fragmented selected leaf whose components straddle shard-row
+    boundaries: the sharded run-graph labeling (local _mask_row_runs +
+    all_gather + replicated hull) must agree with the single-chip exact
+    minAreaRect -- same grasp pixel."""
+    from leafgrasp_tpu.parallel.spatial_frame import make_sharded_frame_fn
+    from leafgrasp_tpu.pipeline.frame import make_frame_fn
+    cfg = _spatial_cfg("reference_self")
+    h, w = 264, 360
+    mask = np.zeros((h, w), np.int32)
+    # leaf 1: large blob crossing shard rows 33/66/99, with a bite
+    # splitting off a second component that also crosses a boundary
+    yy, xx = np.mgrid[0:h, 0:w]
+    blob = ((xx - 150.0) / 90) ** 2 + ((yy - 80.0) / 55) ** 2 <= 1
+    bite = (xx >= 108) & (xx <= 118)       # occluding stripe: 2 parts
+    mask[blob & ~bite] = 1
+    # a second, smaller leaf so selection is non-trivial
+    blob2 = ((xx - 270.0) / 40) ** 2 + ((yy - 200.0) / 30) ** 2 <= 1
+    mask[blob2] = 2
+    import scipy.ndimage as ndi
+    assert ndi.label(mask == 1, structure=np.ones((3, 3)))[1] >= 2, \
+        "fixture must be fragmented"
+    depth = np.full((h, w), 0.5, np.float32)
+    depth += 0.05 * (yy / h).astype(np.float32)
+    cx, cy, f = np.float32(180.0), np.float32(135.0), np.float32(430.0)
+    mesh = make_mesh(8, model_axis=1)
+    r_sh = make_sharded_frame_fn(mesh, cfg, with_cnn=False)(
+        mask, depth, cx, cy, f)
+    r_un = make_frame_fn(cfg, with_cnn=False, use_pallas=False)(
+        mask, depth, cx, cy, f)
+    assert int(r_sh.leaf_id) == int(r_un.leaf_id)
+    np.testing.assert_array_equal(np.asarray(r_sh.grasp_uv),
+                                  np.asarray(r_un.grasp_uv))
