@@ -120,6 +120,14 @@ class GraspScoringConfig:
     # nested lax.cond ladder); leaves larger than every window fall
     # back to the adaptive banded sweep.
     leaf_windows: Tuple[int, ...] = (320, 640)
+    # > 0: additionally restrict the window pass-2's SOURCE columns to
+    # +-pad around the window when provably exact (every field value on
+    # the leaf is bounded by the already-computed exact maxes and by
+    # half the leaf bbox's smaller side; 1-Lipschitz => the winning
+    # source is within the pad). Cuts the window sweep from O(W) to
+    # O(wq + 2*pad) source columns on crowded frames. 0 = off
+    # (measured default pending; see PERF.md roadmap 11).
+    leaf_window_src_pad: int = 0
 
     # accessibility internals (grasp_point_selector.py:502-524)
     access_distance_weight: float = 0.7

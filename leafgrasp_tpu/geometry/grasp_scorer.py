@@ -273,7 +273,8 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
                                        edt_batch, edt_max_argmax,
                                        edt_max_argmax_batch,
                                        nearest_seed_dist_1d, squared_edt,
-                                       squared_edt_window)
+                                       squared_edt_window,
+                                       squared_edt_window_src)
     from leafgrasp_tpu.ops.morphology import dilated_vertical_dist
     iso_mode = "skip" if skip_isolation else cfg.isolation_context
 
@@ -293,19 +294,47 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     sizes = sorted({(min(s, fh), min(s, fw))
                     for s in cfg.leaf_windows if s > 0})
 
-    def _leaf_fields(g2s):
+    # upper bound on the leaf-interior distance: any leaf pixel is
+    # within half the bbox's smaller side of the exterior
+    din_bound = 0.5 * jnp.minimum(r_hi - r_lo + 1,
+                                  c_hi - c_lo + 1).astype(jnp.float32) + 2.0
+
+    def _leaf_fields(g2s, field_bound=None):
         """sqrt-EDTs from a (C, H, W) pass-1 stack, exact on the leaf:
         ONE batched bbox-window pass-2 in the smallest ladder window
         that contains the leaf (zeros outside the window), else the
-        adaptive banded sweep sized to the leaf (exact on the mask)."""
+        adaptive banded sweep sized to the leaf (exact on the mask).
+
+        field_bound: dynamic upper bound on every channel's value over
+        the leaf; with ``cfg.leaf_window_src_pad > 0`` and
+        field_bound < pad the pass-2 sources shrink to +-pad columns
+        around the window (provably exact; squared_edt_window_src)."""
+        pad = cfg.leaf_window_src_pad
+
         def windowed(hq, wq):
-            def run(_):
+            def full(_):
                 r0 = jnp.clip(r_lo, 0, fh - hq)
                 c0 = jnp.clip(c_lo, 0, fw - wq)
                 blk = jnp.sqrt(squared_edt_window(g2s, r0, c0, hq, wq))
                 return jax.lax.dynamic_update_slice(
                     jnp.zeros(g2s.shape, jnp.float32), blk,
                     (jnp.int32(0), r0, c0))
+
+            if not pad or field_bound is None or wq + 2 * pad >= fw:
+                return full
+
+            def banded_src(_):
+                r0 = jnp.clip(r_lo, 0, fh - hq)
+                c0 = jnp.clip(c_lo, 0, fw - wq)
+                blk = jnp.sqrt(squared_edt_window_src(
+                    g2s, r0, c0, hq, wq, pad))
+                return jax.lax.dynamic_update_slice(
+                    jnp.zeros(g2s.shape, jnp.float32), blk,
+                    (jnp.int32(0), r0, c0))
+
+            def run(_):
+                return jax.lax.cond(field_bound < pad, banded_src,
+                                    full, None)
             return run
 
         def banded(_):
@@ -335,12 +364,14 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
             constant_field=jnp.stack([~jnp.any(m), no_other, no_other]))
         max_dout, close_max, wide_max = maxs[0], maxs[1], maxs[2]
         din, dclose, dwide = _leaf_fields(
-            jnp.stack([g2[0], g2_close, g2_wide]))
+            jnp.stack([g2[0], g2_close, g2_wide]),
+            field_bound=jnp.maximum(din_bound,
+                                    jnp.maximum(close_max, wide_max)))
     elif iso_mode == "union_half":
         other = jnp.asarray(all_mask, bool) & ~m
         h, w = m.shape
         g2 = _batched_g2(jnp.stack([~m, m]))
-        din = _leaf_fields(g2[:1])[0]
+        din = _leaf_fields(g2[:1], field_bound=din_bound)[0]
         max_dout, _ = edt_max_argmax(m, g2=g2[1])
 
         def half_edt(inter):
@@ -361,7 +392,7 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
         wide_max = jnp.max(dwide)
     else:
         g2 = _batched_g2(jnp.stack([~m, m]))
-        din = _leaf_fields(g2[:1])[0]
+        din = _leaf_fields(g2[:1], field_bound=din_bound)[0]
         max_dout, _ = edt_max_argmax(m, g2=g2[1])
         # reference_self: empty interference -> cv2 FLT_MAX field ->
         # normalized score 1 everywhere; skip: zero field -> score 0

@@ -36,8 +36,8 @@ import jax.numpy as jnp
 
 __all__ = ["nearest_seed_dist_1d", "directional_seed_dist_1d",
            "squared_edt", "squared_edt_full", "squared_edt_window",
-           "edt", "signed_edt", "edt_batch", "edt_max_argmax",
-           "edt_max_argmax_batch"]
+           "squared_edt_window_src", "edt", "signed_edt", "edt_batch",
+           "edt_max_argmax", "edt_max_argmax_batch"]
 
 
 def directional_seed_dist_1d(seeds: jnp.ndarray, axis: int = 0):
@@ -431,6 +431,55 @@ def squared_edt_window(g2: jnp.ndarray, r0, c0, hq: int, wq: int,
     def body(carry, inputs):
         g2_blk, col_blk = inputs                  # (C*hq, Ck), (Ck,)
         off = (qcols[None, :] - col_blk[:, None]) ** 2      # (Ck, wq)
+        cand = jnp.min(g2_blk[:, :, None] + off[None, :, :], axis=1)
+        return jnp.minimum(carry, cand), None
+
+    init = jnp.full((c * hq, wq), big, jnp.float32)
+    d2, _ = jax.lax.scan(body, init, (blocks, colc))
+    d2 = d2.reshape(c, hq, wq)
+    return d2[0] if squeeze else d2
+
+
+def squared_edt_window_src(g2: jnp.ndarray, r0, c0, hq: int, wq: int,
+                           src_pad: int, chunk: int = 512) -> jnp.ndarray:
+    """``squared_edt_window`` with SOURCES restricted to the columns
+    [c0 - src_pad, c0 + wq + src_pad) (clipped to the frame).
+
+    EXACT iff every query pixel's true distance is < ``src_pad``
+    (1-Lipschitz: the winning source column then lies within the pad).
+    The grasp scorer proves this bound before choosing this path: the
+    interference fields' exact full-frame maxes are already computed
+    (edt_max_argmax_batch), and the leaf-interior field is bounded by
+    half the leaf bbox's smaller side. Cost O(C*hq*wq*(wq+2*src_pad))
+    vs O(C*hq*wq*W) for the full-source sweep -- the crowded-frame
+    win (roadmap item 11c).
+    """
+    squeeze = g2.ndim == 2
+    if squeeze:
+        g2 = g2[None]
+    c, h, w = g2.shape
+    hq, wq = min(hq, h), min(wq, w)
+    sw = min(wq + 2 * src_pad, w)
+    big = jnp.float32((h + w) * (h + w))
+    r0 = jnp.asarray(r0, jnp.int32)
+    c0 = jnp.asarray(c0, jnp.int32)
+    s0 = jnp.clip(c0 - src_pad, 0, w - sw)
+    g2r = jax.lax.dynamic_slice(g2, (jnp.int32(0), r0, s0),
+                                (c, hq, sw)).reshape(c * hq, sw)
+
+    n_chunks = -(-sw // chunk)
+    pad = n_chunks * chunk - sw
+    g2p = jnp.pad(g2r, ((0, 0), (0, pad)), constant_values=big)
+    colp = jnp.pad(s0.astype(jnp.float32)
+                   + jnp.arange(sw, dtype=jnp.float32), (0, pad),
+                   constant_values=jnp.float32(-10 * w))
+    qcols = c0.astype(jnp.float32) + jnp.arange(wq, dtype=jnp.float32)
+    blocks = jnp.moveaxis(g2p.reshape(c * hq, n_chunks, chunk), 1, 0)
+    colc = colp.reshape(n_chunks, chunk)
+
+    def body(carry, inputs):
+        g2_blk, col_blk = inputs
+        off = (qcols[None, :] - col_blk[:, None]) ** 2
         cand = jnp.min(g2_blk[:, :, None] + off[None, :, :], axis=1)
         return jnp.minimum(carry, cand), None
 

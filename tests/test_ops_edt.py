@@ -289,3 +289,51 @@ class TestMaxArgmaxAndWindow:
         full = np.asarray(squared_edt_full(jnp.asarray(seeds)))
         np.testing.assert_array_equal(banded[mask], full[mask])
         assert np.all(banded >= full - 1e-6)       # overestimate off-mask
+
+
+class TestWindowSrcBanded:
+    """squared_edt_window_src is exact when every query's distance is
+    below src_pad (1-Lipschitz winning-source argument)."""
+
+    def test_matches_full_window_under_bound(self):
+        rng = np.random.default_rng(5)
+        h, w = 96, 400
+        from leafgrasp_tpu.ops.edt import (nearest_seed_dist_1d,
+                                           squared_edt_window,
+                                           squared_edt_window_src)
+        # seeds everywhere at moderate density -> distances well below
+        # the pad; multi-channel stack
+        seeds = rng.random((3, h, w)) < 0.01
+        seeds[:, :, ::37] = True          # guarantee bound < 37
+        g = nearest_seed_dist_1d(jnp.asarray(seeds), axis=1)
+        g2 = (g * g).astype(jnp.float32)
+        for r0, c0, hq, wq, pad in ((10, 40, 64, 128, 64),
+                                    (0, 0, 96, 96, 48),
+                                    (30, 272, 32, 128, 40)):
+            full = np.asarray(squared_edt_window(g2, r0, c0, hq, wq))
+            band = np.asarray(squared_edt_window_src(g2, r0, c0, hq, wq,
+                                                     pad))
+            assert np.max(full) < pad * pad, "fixture bound violated"
+            np.testing.assert_array_equal(band, full)
+
+    def test_scorer_band_flag_is_bit_exact(self):
+        """compute_grasp_scores with leaf_window_src_pad on vs off:
+        identical score maps on union-mode scenes (the scorer only uses
+        the banded path when its proven bound fits)."""
+        import dataclasses
+        from leafgrasp_tpu.config import GraspScoringConfig
+        from leafgrasp_tpu.geometry.grasp_scorer import compute_grasp_scores
+        from leafgrasp_tpu.io.scenes import make_leaf_scene
+        for seed, n in ((8, 6), (3, 12)):
+            mask, depth = make_leaf_scene(270, 360, num_leaves=n,
+                                          seed=seed, margin=40)
+            lid = int(np.unique(mask)[1])
+            base = GraspScoringConfig(isolation_context="union")
+            banded = dataclasses.replace(base, leaf_window_src_pad=96)
+            outs = []
+            for cfg in (base, banded):
+                s = compute_grasp_scores(
+                    jnp.asarray(mask == lid), jnp.asarray(mask > 0),
+                    jnp.asarray(depth), 180.0, 135.0, 800.0, cfg)
+                outs.append(np.asarray(s.traditional_score))
+            np.testing.assert_array_equal(outs[0], outs[1])
