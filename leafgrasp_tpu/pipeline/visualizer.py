@@ -150,7 +150,11 @@ class LeafVisualizer:
         rgb8[:] = np.asarray(img)
 
     def _draw_orientation(self, canvas, sel):
-        o = mask_orientation(sel)
+        # the reference draws estimate_leaf_orientation's axis
+        # (= minAreaRect; visualizer.py:76-88) -- use the exact
+        # rectangle, not moment-PCA
+        from leafgrasp_tpu.ops.pca import min_area_rect
+        o = min_area_rect(sel)
         if not bool(o.valid):
             return
         cx, cy = float(o.center[0]), float(o.center[1])

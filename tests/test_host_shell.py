@@ -85,12 +85,18 @@ def test_framebus_threaded_stress():
     got = []
     t = threading.Thread(target=producer)
     t.start()
-    while not stop.is_set() or bus.try_get_pair() is not None:
+    # consume ONLY in the body: a try_get_pair() in the loop condition
+    # would swallow pairs without recording them (flaked on the 1-core
+    # box where the producer finishes before the first iteration)
+    while True:
         pair = bus.try_get_pair()
-        if pair is not None:
-            m = pair[0]
-            assert (m == m[0, 0]).all()   # no torn frames
-            got.append(int(m[0, 0]))
+        if pair is None:
+            if stop.is_set():
+                break
+            continue
+        m = pair[0]
+        assert (m == m[0, 0]).all()   # no torn frames
+        got.append(int(m[0, 0]))
     t.join()
     s = bus.stats()
     assert s["mask_pushed"] == n
