@@ -35,12 +35,78 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
+def host_only(n_frames: int):
+    """Measure the HOST ingest path alone: bus push (producer thread) ->
+    try_get_pair -> the int16 staging copy GraspService performs before
+    dispatch (_process_frame_locked, ingest.py) -- no device work, so
+    the number is tunnel-free and valid on any host. This is the
+    measurement behind PERF.md's real-host ingest claim."""
+    from leafgrasp_tpu.config import DEFAULT_CONFIG
+    from leafgrasp_tpu.io.framebus import FrameBus, native_available
+    from leafgrasp_tpu.io.scenes import make_leaf_scene
+
+    h, w = DEFAULT_CONFIG.frame.height, DEFAULT_CONFIG.frame.width
+    mask, depth = make_leaf_scene(h, w, num_leaves=8, seed=8, margin=100)
+    raws = [(np.roll(mask, 5 * i, axis=1), np.roll(depth, 5 * i, axis=1))
+            for i in range(8)]
+    bus = FrameBus(h, w)
+    state = {"consumed": 0}
+    done = threading.Event()
+
+    def producer():
+        for i in range(n_frames):
+            m, d = raws[i % len(raws)]
+            bus.push_mask(m, stamp_us=i)
+            bus.push_depth(d, stamp_us=i)
+            while i - state["consumed"] > 1 and not done.is_set():
+                time.sleep(0)
+        done.set()
+
+    th = threading.Thread(target=producer, daemon=True)
+    per_frame_ms = []
+    th.start()
+    t0 = time.perf_counter()
+    while state["consumed"] < n_frames:
+        t_in = time.perf_counter()
+        pair = bus.try_get_pair()
+        if pair is None:
+            if done.is_set() and bus.try_get_pair() is None:
+                break
+            time.sleep(0)
+            continue
+        m, d, ms, ds = pair
+        m16 = np.ascontiguousarray(m, np.int16)   # the staging copy
+        assert m16.shape == (h, w) and d.dtype == np.float32
+        state["consumed"] += 1
+        per_frame_ms.append((time.perf_counter() - t_in) * 1e3)
+    wall = time.perf_counter() - t0
+    th.join(timeout=5)
+    bus.close()
+    print(json.dumps({
+        "metric": "host_ingest_ms_per_frame",
+        "value": round(float(np.mean(per_frame_ms)), 3),
+        "unit": "ms (pop+stage, consumer side)",
+        "p95_ms": round(float(np.percentile(per_frame_ms, 95)), 3),
+        "frames": state["consumed"],
+        "host_ingest_fps_bound": round(state["consumed"] / wall, 1),
+        "bus": "native" if native_available() else "numpy",
+        "note": "producer push runs concurrently on its own thread; "
+                "the wall-clock fps bound includes it",
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--depth", type=int, default=3,
                     help="pipeline_depth (frames in flight)")
+    ap.add_argument("--host-only", action="store_true",
+                    help="measure bus push/pop + staging only (no "
+                         "device dispatch; tunnel-free)")
     args = ap.parse_args()
+    if args.host_only:
+        host_only(args.frames)
+        return
 
     import jax
     from leafgrasp_tpu.config import DEFAULT_CONFIG, GraspScoringConfig
