@@ -258,6 +258,34 @@ class TestMaxArgmaxAndWindow:
             assert np.asarray(mx)[c] == np.asarray(jnp.max(d))
             assert int(np.asarray(am)[c]) == int(jnp.argmax(d))
 
+    def test_tile_candidates_coverage_bound(self):
+        """The tile-max selection's contract: every sample NOT in the
+        returned candidate set is <= the reported bound (so the caller's
+        'bound < m_low - slack' guard proves Lipschitz coverage)."""
+        from leafgrasp_tpu.ops.edt import _tile_candidates
+        rng = np.random.default_rng(3)
+        ds = (rng.random((120, 41)) * 50).astype(np.float32)
+        kth, flat, exhaustive = _tile_candidates(jnp.asarray(ds), 256)
+        assert not exhaustive          # 15x6=90 tiles > 256/64=4
+        sel = np.zeros(ds.size, bool)
+        sel[np.asarray(flat)] = True
+        kth = float(kth)
+        assert ds.ravel()[~sel].max() <= kth + 1e-6
+        assert sel[ds.ravel() > kth].all()
+
+    def test_max_argmax_fallback_lane_large(self):
+        """A near-constant dense-random field defeats the coverage
+        guard at a size where tiles >> budget; the exact full-sweep
+        fallback must preserve bit-equal max + first-occurrence
+        argmax."""
+        from leafgrasp_tpu.ops.edt import edt_max_argmax, squared_edt_full
+        rng = np.random.default_rng(7)
+        seeds = rng.random((210, 330)) < 0.5
+        d = jnp.sqrt(squared_edt_full(jnp.asarray(seeds)))
+        mx, am = edt_max_argmax(jnp.asarray(seeds))
+        assert np.asarray(mx) == np.asarray(jnp.max(d))
+        assert int(am) == int(jnp.argmax(d))
+
     def test_window_matches_full_block(self):
         from leafgrasp_tpu.ops.edt import (nearest_seed_dist_1d,
                                            squared_edt_full,
