@@ -109,29 +109,45 @@ def main():
                      in_shardings=(auto_tree, None, None, None, None))
     lowered = jitted.lower(variables, caches0, last0, pad, jnp.int32(0))
     compiled = lowered.compile()
+    del caches0, last0
     fmts = compiled.input_formats[0][0]        # the variables subtree
-    n_changed = 0
-    flat_f, _ = jax.tree.flatten(fmts)
-    flat_v, _ = jax.tree.flatten(variables)
-    for f_, v_ in zip(flat_f, flat_v):
-        dflt = np.asarray([])  # placeholder; compare via layout repr
-        if "major_to_minor=(0, 1)" not in str(f_.layout) or \
-                getattr(f_.layout, "tiling", None) is None:
-            n_changed += 1
-    vars_opt = jax.device_put(variables, fmts)
+    flat_f = jax.tree.leaves(fmts)
+    flat_v = jax.tree.leaves(variables)
+    n_changed = sum(
+        1 for f_, v_ in zip(flat_f, flat_v)
+        if f_.layout is not None
+        and tuple(f_.layout.major_to_minor) != tuple(range(v_.ndim)))
+    print(f"decode program requests non-default layouts on "
+          f"{n_changed}/{len(flat_v)} weights")
 
     def opt_call(v, c, l, p, i):
         return compiled(v, c, l, p, i)
 
+    # baseline first (at --full two weight copies cannot coexist in HBM)
     base = run_steps(baseline_call, variables, "baseline default layout")
+
+    # relayout leaf-by-leaf, dropping each default-layout leaf as its
+    # relaid copy lands (peak overhead = one leaf, ~263 MB at 7B dims)
+    leaves, treedef = jax.tree.flatten(variables)
+    fleaves = jax.tree.leaves(fmts)
+    if args.full:
+        del variables
+    for i in range(len(leaves)):
+        leaves[i] = jax.device_put(leaves[i], fleaves[i])
+    vars_opt = jax.tree.unflatten(treedef, leaves)
+    del leaves
+
     opt = run_steps(opt_call, vars_opt, "AUTO decode-format weights")
-    base2 = run_steps(baseline_call, variables, "baseline (repeat)")
+    if not args.full:
+        base2 = run_steps(baseline_call, variables, "baseline (repeat)")
+        base = min(base, base2)
 
     print(json.dumps({
         "metric": "decode_step_ms",
-        "baseline": round(min(base, base2) * 1e3, 3),
+        "baseline": round(base * 1e3, 3),
         "auto_layout": round(opt * 1e3, 3),
-        "speedup": round(min(base, base2) / opt, 3),
+        "speedup": round(base / opt, 3),
+        "relayouted_weights": n_changed,
         "dims": {"hidden": cfg.hidden, "layers": cfg.layers,
                  "batch": b, "full": args.full},
     }))

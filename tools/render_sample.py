@@ -35,11 +35,13 @@ def main():
     rgb = np.stack([0.3 + 0.5 * (mask > 0) * rgb, 0.25 + 0.55 * rgb,
                     0.3 * np.ones_like(rgb)], -1)
     viz = LeafVisualizer()
+    tall = [i + 1 for i, t in
+            enumerate(np.asarray(res.leaf_selection.is_tall)) if t]
     frame = viz.render(mask, int(res.leaf_id),
                        grasp_uv=np.asarray(res.grasp_uv),
                        grasp_xyz=np.asarray(res.grasp_xyz),
                        pre_grasp_xyz=np.asarray(res.pre_grasp_xyz),
-                       rgb=rgb)
+                       tall_leaves=tall, rgb=rgb)
     from PIL import Image
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "sample_composite.png")
