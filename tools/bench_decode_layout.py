@@ -119,6 +119,10 @@ def main():
         and tuple(f_.layout.major_to_minor) != tuple(range(v_.ndim)))
     print(f"decode program requests non-default layouts on "
           f"{n_changed}/{len(flat_v)} weights")
+    del flat_v, flat_f   # must NOT pin the original leaves: at --full the
+                         # leaf-by-leaf relayout below relies on each
+                         # replaced leaf being freed (14.1 GB + extras
+                         # does not fit twice in 16 GB HBM)
 
     def opt_call(v, c, l, p, i):
         return compiled(v, c, l, p, i)
