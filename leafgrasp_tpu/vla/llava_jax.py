@@ -31,7 +31,8 @@ import flax.linen as nn
 from leafgrasp_tpu.vla.lora import LoRADense
 
 __all__ = ["LlavaJaxConfig", "LlavaJax", "convert_hf_llava_state_dict",
-           "config_from_hf", "greedy_generate_llava"]
+           "config_from_hf", "greedy_generate_llava",
+           "prepare_decode_layout"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -599,11 +600,87 @@ def _generate_decode_step(model: LlavaJax, variables, caches, last, pad,
     return nxt, caches
 
 
+def prepare_decode_layout(model: LlavaJax, variables_box: list,
+                          batch: int, prompt_len: int,
+                          max_new_tokens: int):
+    """Compile the decode-step program with AUTO weight input formats
+    and relayout the weights into the layouts it prefers.
+
+    Measured on one v5e at 7B dims (tools/bench_decode_layout.py): XLA
+    requests non-default layouts on 97/684 weights and the per-step
+    matvec relayout copies disappear -- 22.33 -> 21.19 ms/step (5.3%
+    faster decode). This moves the relayout cost to load time, the
+    "cleaner fix" noted in PERF.md 'VLA serving' item 4.
+
+    variables_box: a single-element list ``[variables]``; it is EMPTIED
+    here so the original leaves can be freed one-by-one as their
+    relaid copies land (peak overhead = one leaf, ~263 MB at 7B dims
+    -- 14.1 GB of weights cannot exist twice in 16 GB HBM). Callers
+    must drop every other reference to the tree first.
+
+    Returns ``(vars_opt, step_call, n_relayouted)`` where
+    ``step_call(variables, caches, last, pad, step_i)`` runs the
+    compiled program -- shapes are fixed to ``(batch, prompt_len +
+    max_new_tokens)``, caches donated exactly like
+    ``_generate_decode_step``.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    variables = variables_box.pop()
+    c = model.cfg
+    total = prompt_len + max_new_tokens
+    kv_dt = c.jnp_dtype
+    cache_sds = [
+        (jax.ShapeDtypeStruct((batch, total, c.kv_heads, c.head_dim),
+                              kv_dt),
+         jax.ShapeDtypeStruct((batch, total, c.kv_heads, c.head_dim),
+                              kv_dt),
+         jax.ShapeDtypeStruct((), jnp.int32))
+        for _ in range(c.layers)]
+    vec_sds = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    step_sds = jax.ShapeDtypeStruct((), jnp.int32)
+    var_sds = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        variables)
+
+    raw_step = _generate_decode_step.__wrapped__
+
+    def fn(v, caches, last, pad, i):
+        return raw_step(model, v, caches, last, pad, i,
+                        prompt_len, max_new_tokens)
+
+    auto_tree = jax.tree.map(lambda _: Format(Layout.AUTO), variables)
+    jitted = jax.jit(fn, donate_argnums=(1,),
+                     in_shardings=(auto_tree, None, None, None, None))
+    compiled = jitted.lower(var_sds, cache_sds, vec_sds, vec_sds,
+                            step_sds).compile()
+    fmts = compiled.input_formats[0][0]
+    fleaves = jax.tree.leaves(fmts)
+    leaves, treedef = jax.tree.flatten(variables)
+    del variables, var_sds, auto_tree
+    n_changed = sum(
+        1 for f_, v_ in zip(fleaves, leaves)
+        if f_.layout is not None
+        and tuple(f_.layout.major_to_minor) != tuple(range(v_.ndim)))
+    # replace each leaf in place so the default-layout original frees
+    # as soon as its relaid copy exists
+    for i in range(len(leaves)):
+        leaves[i] = jax.device_put(leaves[i], fleaves[i])
+    vars_opt = jax.tree.unflatten(treedef, leaves)
+    del leaves
+
+    def step_call(v, caches, last, pad, step_i):
+        return compiled(v, caches, last, pad, step_i)
+
+    return vars_opt, step_call, n_changed
+
+
 def greedy_generate_llava(model: LlavaJax, variables, input_ids,
                           pixel_values=None, image_features=None,
                           max_new_tokens: int = 10,
                           pad_lens=None,
-                          decode_mode: str = "scan") -> jnp.ndarray:
+                          decode_mode: str = "scan",
+                          decode_step_call=None) -> jnp.ndarray:
     """Greedy decode: a prefill program + a single-token KV-cache decode
     (two separately-jitted programs; see _generate_prefill for why).
 
@@ -618,6 +695,12 @@ def greedy_generate_llava(model: LlavaJax, variables, input_ids,
     steady state); "steps" runs one program per token, keeping weight-
     layout copies transient -- required to fit a batched 7B rerank next
     to 14 GB of weights on one 16 GB chip (see _generate_decode_step).
+
+    decode_step_call: optional replacement for the per-token program in
+    "steps" mode with the same signature ``(variables, caches, last,
+    pad, step_i) -> (next, caches)`` -- used by
+    ``prepare_decode_layout`` to run the decode-format-compiled
+    program against relayouted weights.
     """
     b, t = input_ids.shape
     if pad_lens is None:
@@ -630,9 +713,13 @@ def greedy_generate_llava(model: LlavaJax, variables, input_ids,
     if decode_mode == "steps":
         toks = [last]
         for i in range(max_new_tokens - 1):
-            last, caches = _generate_decode_step(
-                model, variables, caches, last, pad,
-                jnp.int32(i), t, max_new_tokens)
+            if decode_step_call is not None:
+                last, caches = decode_step_call(
+                    variables, caches, last, pad, jnp.int32(i))
+            else:
+                last, caches = _generate_decode_step(
+                    model, variables, caches, last, pad,
+                    jnp.int32(i), t, max_new_tokens)
             toks.append(last)
         return jnp.stack(toks, axis=1)
     toks, _ = _generate_decode(model, variables, caches, last, pad,

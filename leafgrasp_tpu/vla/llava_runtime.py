@@ -82,19 +82,33 @@ class LlavaJaxScorer:
     def __init__(self, model, variables, tokenizer,
                  max_new_tokens: int = 10,
                  max_batch: int | None = None,
-                 decode_mode: str = "scan"):
+                 decode_mode: str = "scan",
+                 decode_weight_layout: str = "default"):
         """max_batch: cap on candidates per generate call (None = all
         at once). decode_mode: "scan" (fused decode loop) or "steps"
         (one program per token). For a 7B model on a single 16 GB chip
         use decode_mode="steps" -- the fused scan's hoisted weight-
         layout copies do not fit next to 14.1 GB of weights at batch 5
-        (PERF.md 'VLA serving': batched rerank 549 ms vs 1.28 s)."""
+        (PERF.md 'VLA serving': batched rerank 549 ms vs 1.28 s).
+
+        decode_weight_layout: "default" keeps weights in default
+        layouts; "auto" (steps mode only) compiles the decode-step
+        program with AUTO weight input formats on first use and
+        relayouts the weights into the layouts it prefers -- measured
+        5.3% faster 7B decode on one v5e (PERF.md 'VLA serving',
+        tools/bench_decode_layout.py). The relayout happens before the
+        first prefill compile so each program compiles exactly once;
+        a change in batch shape re-prepares for the new shape. If the
+        backend cannot compile AUTO formats the scorer logs a warning
+        and falls back to default layouts."""
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.max_new_tokens = max_new_tokens
         self.max_batch = max_batch
         self.decode_mode = decode_mode
+        self.decode_weight_layout = decode_weight_layout
+        self._decode_calls = {}   # (batch, prompt_len) -> compiled call
 
     def _encode(self, prompt: str, with_image: bool) -> list:
         ids = list(self.tokenizer.encode(prompt))
@@ -136,11 +150,40 @@ class LlavaJaxScorer:
             out.extend(self._score_batch(rows[lo:lo + step], feats))
         return out
 
+    def _ensure_decode_layout(self, b: int, t: int) -> None:
+        """Prepare the decode-format program + relayouted weights for
+        shape (b, t); no-op when already prepared for that shape."""
+        from leafgrasp_tpu.vla.llava_jax import prepare_decode_layout
+        if (b, t) in self._decode_calls:
+            return
+        box = [self.variables]
+        self.variables = None   # our ref must die for leaves to free
+        try:
+            # a second prepare for a new shape relayouts again, but
+            # device_put into an already-matching format is free
+            self.variables, call, _ = \
+                prepare_decode_layout(self.model, box, b, t,
+                                      self.max_new_tokens)
+            self._decode_calls[(b, t)] = call
+        except Exception as e:          # backend without AUTO formats
+            if box:                     # tree not consumed yet
+                self.variables = box.pop()
+                self.decode_weight_layout = "default"
+                import logging
+                logging.getLogger(__name__).warning(
+                    "decode_weight_layout='auto' unavailable (%s); "
+                    "falling back to default layouts", e)
+            else:                       # weights consumed: can't recover
+                raise
+
     def _score_batch(self, rows, feats) -> List[float]:
         import jax.numpy as jnp
         from leafgrasp_tpu.vla.llava_jax import greedy_generate_llava
         b = len(rows)
         t = max(len(r) for r in rows)
+        if (self.decode_weight_layout == "auto"
+                and self.decode_mode == "steps"):
+            self._ensure_decode_layout(b, t)
         ids = np.zeros((b, t), np.int32)
         pad = np.zeros((b,), np.int32)
         for i, r in enumerate(rows):
@@ -153,7 +196,9 @@ class LlavaJaxScorer:
                                     image_features=feats,
                                     max_new_tokens=self.max_new_tokens,
                                     pad_lens=jnp.asarray(pad),
-                                    decode_mode=self.decode_mode)
+                                    decode_mode=self.decode_mode,
+                                    decode_step_call=self._decode_calls
+                                    .get((b, t)))
         gen = np.asarray(gen)
         return [parse_score(self.tokenizer.decode(gen[i].tolist()))
                 for i in range(b)]

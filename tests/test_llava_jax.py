@@ -487,6 +487,60 @@ def test_decode_mode_steps_equals_scan(tiny_pair):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_prepare_decode_layout_matches_default(tiny_pair):
+    """The decode-format-compiled step program (AUTO weight layouts,
+    weights relayouted into its preference) must emit exactly the
+    tokens the default path does; on CPU the chosen layouts are
+    trivially default but the full compile/relayout/call mechanism is
+    exercised."""
+    import jax.numpy as jnp
+    from leafgrasp_tpu.vla.llava_jax import prepare_decode_layout
+    _, model, variables, cfg = tiny_pair
+    ids = jnp.asarray([[1, 5, 7, 9], [0, 1, 8, 3]], jnp.int32)
+    pads = jnp.asarray([0, 1], jnp.int32)
+    ref = greedy_generate_llava(model, variables, ids, max_new_tokens=5,
+                                pad_lens=pads, decode_mode="steps")
+
+    box = [variables]
+    vars_opt, step_call, n = prepare_decode_layout(
+        model, box, batch=2, prompt_len=4, max_new_tokens=5)
+    assert box == []          # ownership consumed
+    assert n >= 0
+    out = greedy_generate_llava(model, vars_opt, ids, max_new_tokens=5,
+                                pad_lens=pads, decode_mode="steps",
+                                decode_step_call=step_call)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_scorer_auto_decode_layout(tiny_pair):
+    """decode_weight_layout='auto' + steps mode scores identically to
+    the default scorer (prepared call is compiled once per shape)."""
+    from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
+
+    class _Tok:
+        def encode(self, text):
+            return [1] + [b % 90 + 2 for b in text.encode()][:9]
+
+        def decode(self, ids):
+            return f"0.{abs(sum(ids)) % 100:02d}"
+
+    _, model, variables, cfg = tiny_pair
+    cands = [dict(x=i, y=i * 3, geometric_score=0.4 + 0.1 * i)
+             for i in range(3)]
+    img = np.random.default_rng(5).random((40, 40, 3)).astype(np.float32)
+    base = LlavaJaxScorer(model, variables, _Tok(), max_new_tokens=3,
+                          decode_mode="steps").score(img, cands, "go")
+    auto = LlavaJaxScorer(model, variables, _Tok(), max_new_tokens=3,
+                          decode_mode="steps",
+                          decode_weight_layout="auto")
+    got = auto.score(img, cands, "go")
+    assert got == base
+    assert (auto.decode_weight_layout == "default"   # graceful fallback
+            or len(auto._decode_calls) == 1)
+    # second frame, same shape: reuses the prepared program
+    assert auto.score(img, cands, "go") == base
+
+
 def test_llava_full_param_pretrain(tiny_pair):
     """train_full=True updates base weights (the pretraining mode that
     gives LoRA a base with skill to steer); loss decreases and non-LoRA
