@@ -27,8 +27,11 @@ def _spec_for(path: str, leaf, model_size: int) -> P:
     if leaf.ndim == 2 and leaf.shape[-1] % model_size == 0 \
             and leaf.shape[-1] >= model_size and marked:
         return P(None, "model")
-    if leaf.ndim == 1 and marked and "bias" in path \
+    if leaf.ndim == 1 and marked \
+            and ("bias" in path or "kernel_scale" in path) \
             and leaf.shape[0] % model_size == 0:
+        # int8 per-output-channel scales (vla/quant.py) follow their
+        # column-sharded kernel_q
         return P("model")
     return P()
 

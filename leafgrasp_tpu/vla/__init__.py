@@ -30,6 +30,8 @@ from leafgrasp_tpu.vla.checkpoint_io import (SentencePieceTokenizer,
                                              load_llava_checkpoint,
                                              read_safetensors,
                                              write_safetensors)
+from leafgrasp_tpu.vla.quant import (QuantDense, QuantLoRADense,
+                                     quantize_llava_variables)
 
 __all__ = [
     "HybridGraspSelector", "HybridSelector", "confidence_weights",
@@ -43,4 +45,5 @@ __all__ = [
     "LlavaJaxScorer", "load_llava_from_hf", "preprocess_image",
     "SentencePieceTokenizer", "load_llava_checkpoint",
     "read_safetensors", "write_safetensors",
+    "QuantDense", "QuantLoRADense", "quantize_llava_variables",
 ]

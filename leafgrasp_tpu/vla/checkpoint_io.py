@@ -447,12 +447,18 @@ _TEXT_DEFAULTS = {
 
 
 def load_llava_checkpoint(path: str, lora_rank: int = 0,
-                          dtype: str = "float32"):
+                          dtype: str = "float32",
+                          quantize: bool = False):
     """Checkpoint dir -> (LlavaJax, variables, tokenizer); no
     transformers, no torch (vla_system/llava_processor.py:18-31 is the
     pipeline this replaces).
 
     dtype: "float32" | "bfloat16" -- cast applied to every weight leaf.
+    quantize: replace every LM projection kernel with weight-only int8
+    (vla/quant.py) -- the TPU-native analogue of the bitsandbytes
+    quantized serving the reference container ships (its Dockerfile
+    installs bitsandbytes next to transformers/peft). Composes with
+    lora_rank > 0 (QLoRA layout: int8 frozen base + float adapters).
     Tokenizer source: ``tokenizer.model`` (pure-Python sentencepiece
     reader); falls back to ``tokenizer.json`` via the standalone
     ``tokenizers`` wheel when only the fast format is present.
@@ -486,6 +492,11 @@ def load_llava_checkpoint(path: str, lora_rank: int = 0,
     model = LlavaJax(cfg)
     if lora_rank > 0:
         variables = attach_lora(model, variables, jax.random.PRNGKey(0))
+    if quantize:
+        from leafgrasp_tpu.vla.quant import quantize_llava_variables
+        variables = quantize_llava_variables(variables)
+        cfg = dataclasses.replace(cfg, quantized=True)
+        model = LlavaJax(cfg)
 
     spm = os.path.join(path, "tokenizer.model")
     if os.path.exists(spm):

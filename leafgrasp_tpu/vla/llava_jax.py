@@ -68,6 +68,9 @@ class LlavaJaxConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.0
+    # weight-only int8 LM projections + lm_head (vla/quant.py); the
+    # variables tree must come from quantize_llava_variables
+    quantized: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -196,9 +199,19 @@ class ClipVisionTower(nn.Module):
 
 # -------------------------------------------------------------- Mistral --
 
-def _proj(features: int, name: str, lora: dict, dtype=jnp.float32):
+def _proj(features: int, name: str, lora: dict, dtype=jnp.float32,
+          quantized: bool = False):
     """Language-model projection: plain Dense, or LoRADense (base kernel
-    nested under '<name>/base') when a LoRA rank is configured."""
+    nested under '<name>/base') when a LoRA rank is configured; int8
+    variants of both when the config is quantized (vla/quant.py)."""
+    if quantized:
+        from leafgrasp_tpu.vla.quant import QuantDense, QuantLoRADense
+        if lora["rank"] > 0:
+            return QuantLoRADense(features, rank=lora["rank"],
+                                  alpha=lora["alpha"],
+                                  dropout=lora["dropout"],
+                                  dtype=dtype, name=name)
+        return QuantDense(features, dtype=dtype, name=name)
     if lora["rank"] > 0:
         return LoRADense(features, rank=lora["rank"],
                          alpha=lora["alpha"], dropout=lora["dropout"],
@@ -240,9 +253,12 @@ class _MistralAttention(nn.Module):
         b, t = x.shape[:2]
         lora = dict(rank=c.lora_rank, alpha=c.lora_alpha,
                     dropout=c.lora_dropout)
-        q = _proj(c.heads * hd, "q_proj", lora, c.jnp_dtype)(x)
-        k = _proj(c.kv_heads * hd, "k_proj", lora, c.jnp_dtype)(x)
-        v = _proj(c.kv_heads * hd, "v_proj", lora, c.jnp_dtype)(x)
+        q = _proj(c.heads * hd, "q_proj", lora, c.jnp_dtype,
+                  c.quantized)(x)
+        k = _proj(c.kv_heads * hd, "k_proj", lora, c.jnp_dtype,
+                  c.quantized)(x)
+        v = _proj(c.kv_heads * hd, "v_proj", lora, c.jnp_dtype,
+                  c.quantized)(x)
         q = _rope_hf(q.reshape(b, t, c.heads, hd), positions, c.rope_theta)
         k = _rope_hf(k.reshape(b, t, c.kv_heads, hd), positions,
                      c.rope_theta)
@@ -267,8 +283,8 @@ class _MistralAttention(nn.Module):
         scores = jnp.where(mask, scores, jnp.float32(-1e30))
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bshd->bthd", probs, vr)
-        out = _proj(c.hidden, "o_proj", lora, c.jnp_dtype)(
-            out.reshape(b, t, c.heads * hd))
+        out = _proj(c.hidden, "o_proj", lora, c.jnp_dtype,
+                    c.quantized)(out.reshape(b, t, c.heads * hd))
         return out, cache
 
 
@@ -285,10 +301,12 @@ class _MistralLayer(nn.Module):
         h = _RMSNorm(c.rms_eps, name="post_attention_layernorm")(x)
         lora = dict(rank=c.lora_rank, alpha=c.lora_alpha,
                     dropout=c.lora_dropout)
-        gate = _proj(c.intermediate, "gate_proj", lora, c.jnp_dtype)(h)
-        up = _proj(c.intermediate, "up_proj", lora, c.jnp_dtype)(h)
-        x = x + _proj(c.hidden, "down_proj", lora,
-                      c.jnp_dtype)(nn.silu(gate) * up)
+        gate = _proj(c.intermediate, "gate_proj", lora, c.jnp_dtype,
+                     c.quantized)(h)
+        up = _proj(c.intermediate, "up_proj", lora, c.jnp_dtype,
+                   c.quantized)(h)
+        x = x + _proj(c.hidden, "down_proj", lora, c.jnp_dtype,
+                      c.quantized)(nn.silu(gate) * up)
         return x, cache
 
 
@@ -375,7 +393,13 @@ class LlavaJax(nn.Module):
             # the other T-1 lm_head rows saves (T-1) x vocab logits in
             # HBM (~400 MB for a batched 7B prefill) and their FLOPs
             x = x[:, -1:]
-        logits = nn.Dense(c.vocab_size, use_bias=False, name="lm_head")(x)
+        if c.quantized:
+            from leafgrasp_tpu.vla.quant import QuantDense
+            logits = QuantDense(c.vocab_size, dtype=c.jnp_dtype,
+                                name="lm_head")(x)
+        else:
+            logits = nn.Dense(c.vocab_size, use_bias=False,
+                              name="lm_head")(x)
         return logits, (new_caches if caches is not None else None)
 
 

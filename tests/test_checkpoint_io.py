@@ -224,6 +224,49 @@ def test_scorer_runs_from_disk_checkpoint(tiny_ckpt_dir, monkeypatch):
     assert all(np.isfinite(s) for s in scores)
 
 
+def test_load_checkpoint_quantized(tiny_ckpt_dir, monkeypatch):
+    """quantize=True loads an int8-LM model (vla/quant.py) straight
+    from the checkpoint dir; logits stay close to the float load and
+    the scorer contract holds."""
+    import flax.traverse_util as tu
+    path, _ = tiny_ckpt_dir
+    monkeypatch.setitem(sys.modules, "transformers", None)
+    monkeypatch.setitem(sys.modules, "torch", None)
+    fmodel, fvars, _ = load_llava_checkpoint(path)
+    model, variables, tok = load_llava_checkpoint(path, quantize=True)
+    assert model.cfg.quantized
+    flat = tu.flatten_dict(variables)
+    assert ("params", "layer_0", "self_attn", "q_proj",
+            "kernel_q") in flat
+    assert ("params", "lm_head", "kernel_q") in flat
+
+    rng = np.random.default_rng(3)
+    px = rng.normal(size=(1, 28, 28, 3)).astype(np.float32)
+    ids = np.array([[1, 5, 100, 100, 100, 100, 7, 9]], np.int32)
+    ref, _ = fmodel.apply(fvars, ids, pixel_values=px)
+    got, _ = model.apply(variables, ids, pixel_values=px)
+    # int8 weight rounding perturbs logits but not their scale
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert err < 0.1 * max(1.0, np.abs(np.asarray(ref)).max())
+
+
+def test_load_checkpoint_quantized_qlora(tiny_ckpt_dir):
+    """quantize composes with lora_rank: int8 base under 'base', float
+    adapters beside it (QLoRA serving layout)."""
+    import flax.traverse_util as tu
+    path, _ = tiny_ckpt_dir
+    model, variables, _ = load_llava_checkpoint(path, lora_rank=2,
+                                                quantize=True)
+    flat = tu.flatten_dict(variables)
+    assert ("params", "layer_0", "self_attn", "q_proj", "base",
+            "kernel_q") in flat
+    assert ("params", "layer_0", "self_attn", "q_proj", "lora_a") in flat
+    ids = np.array([[1, 5, 100, 100, 100, 100, 7, 9]], np.int32)
+    px = np.zeros((1, 28, 28, 3), np.float32)
+    logits, _ = model.apply(variables, ids, pixel_values=px)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_sentencepiece_negative_int32_ids(tmp_path):
     """protobuf int32 negatives are 64-bit two's-complement varints on
     the wire (real Llama/Mistral tokenizer.model files carry
