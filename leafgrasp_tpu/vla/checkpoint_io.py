@@ -448,17 +448,22 @@ _TEXT_DEFAULTS = {
 
 def load_llava_checkpoint(path: str, lora_rank: int = 0,
                           dtype: str = "float32",
-                          quantize: bool = False):
+                          quantize: bool = False,
+                          quant_bits: int = 8,
+                          quant_group: int = 128):
     """Checkpoint dir -> (LlavaJax, variables, tokenizer); no
     transformers, no torch (vla_system/llava_processor.py:18-31 is the
     pipeline this replaces).
 
     dtype: "float32" | "bfloat16" -- cast applied to every weight leaf.
-    quantize: replace every LM projection kernel with weight-only int8
-    (vla/quant.py) -- the TPU-native analogue of the bitsandbytes
-    quantized serving the reference container ships (its Dockerfile
-    installs bitsandbytes next to transformers/peft). Composes with
-    lora_rank > 0 (QLoRA layout: int8 frozen base + float adapters).
+    quantize: replace every LM projection kernel with weight-only
+    quantized serving layers (vla/quant.py) -- the TPU-native analogue
+    of the bitsandbytes quantized serving the reference container ships
+    (its Dockerfile installs bitsandbytes next to transformers/peft).
+    quant_bits selects per-channel int8 (default) or group-wise native
+    int4 (quant_group = input-dim group size). Composes with
+    lora_rank > 0 (QLoRA layout: quantized frozen base + float
+    adapters).
     Tokenizer source: ``tokenizer.model`` (pure-Python sentencepiece
     reader); falls back to ``tokenizer.json`` via the standalone
     ``tokenizers`` wheel when only the fast format is present.
@@ -494,8 +499,11 @@ def load_llava_checkpoint(path: str, lora_rank: int = 0,
         variables = attach_lora(model, variables, jax.random.PRNGKey(0))
     if quantize:
         from leafgrasp_tpu.vla.quant import quantize_llava_variables
-        variables = quantize_llava_variables(variables)
-        cfg = dataclasses.replace(cfg, quantized=True)
+        variables = quantize_llava_variables(variables, bits=quant_bits,
+                                             group=quant_group)
+        cfg = dataclasses.replace(cfg, quantized=True,
+                                  quant_bits=quant_bits,
+                                  quant_group=quant_group)
         model = LlavaJax(cfg)
 
     spm = os.path.join(path, "tokenizer.model")

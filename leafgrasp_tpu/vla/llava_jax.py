@@ -68,9 +68,14 @@ class LlavaJaxConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.0
-    # weight-only int8 LM projections + lm_head (vla/quant.py); the
-    # variables tree must come from quantize_llava_variables
+    # weight-only quantized LM projections + lm_head (vla/quant.py);
+    # the variables tree must come from quantize_llava_variables with
+    # matching bits/group. quant_bits: 8 (per-channel int8) or 4
+    # (group-wise native int4); quant_group: input-dim group size for
+    # int4 scales (ignored for int8)
     quantized: bool = False
+    quant_bits: int = 8
+    quant_group: int = 128
 
     @property
     def head_dim(self) -> int:
@@ -200,18 +205,20 @@ class ClipVisionTower(nn.Module):
 # -------------------------------------------------------------- Mistral --
 
 def _proj(features: int, name: str, lora: dict, dtype=jnp.float32,
-          quantized: bool = False):
+          cfg=None):
     """Language-model projection: plain Dense, or LoRADense (base kernel
-    nested under '<name>/base') when a LoRA rank is configured; int8
-    variants of both when the config is quantized (vla/quant.py)."""
-    if quantized:
+    nested under '<name>/base') when a LoRA rank is configured; int8 /
+    int4 variants of both when ``cfg.quantized`` (vla/quant.py)."""
+    if cfg is not None and cfg.quantized:
         from leafgrasp_tpu.vla.quant import QuantDense, QuantLoRADense
         if lora["rank"] > 0:
             return QuantLoRADense(features, rank=lora["rank"],
                                   alpha=lora["alpha"],
                                   dropout=lora["dropout"],
-                                  dtype=dtype, name=name)
-        return QuantDense(features, dtype=dtype, name=name)
+                                  dtype=dtype, bits=cfg.quant_bits,
+                                  group=cfg.quant_group, name=name)
+        return QuantDense(features, dtype=dtype, bits=cfg.quant_bits,
+                          group=cfg.quant_group, name=name)
     if lora["rank"] > 0:
         return LoRADense(features, rank=lora["rank"],
                          alpha=lora["alpha"], dropout=lora["dropout"],
@@ -254,11 +261,11 @@ class _MistralAttention(nn.Module):
         lora = dict(rank=c.lora_rank, alpha=c.lora_alpha,
                     dropout=c.lora_dropout)
         q = _proj(c.heads * hd, "q_proj", lora, c.jnp_dtype,
-                  c.quantized)(x)
+                  c)(x)
         k = _proj(c.kv_heads * hd, "k_proj", lora, c.jnp_dtype,
-                  c.quantized)(x)
+                  c)(x)
         v = _proj(c.kv_heads * hd, "v_proj", lora, c.jnp_dtype,
-                  c.quantized)(x)
+                  c)(x)
         q = _rope_hf(q.reshape(b, t, c.heads, hd), positions, c.rope_theta)
         k = _rope_hf(k.reshape(b, t, c.kv_heads, hd), positions,
                      c.rope_theta)
@@ -284,7 +291,7 @@ class _MistralAttention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhts,bshd->bthd", probs, vr)
         out = _proj(c.hidden, "o_proj", lora, c.jnp_dtype,
-                    c.quantized)(out.reshape(b, t, c.heads * hd))
+                    c)(out.reshape(b, t, c.heads * hd))
         return out, cache
 
 
@@ -302,11 +309,11 @@ class _MistralLayer(nn.Module):
         lora = dict(rank=c.lora_rank, alpha=c.lora_alpha,
                     dropout=c.lora_dropout)
         gate = _proj(c.intermediate, "gate_proj", lora, c.jnp_dtype,
-                     c.quantized)(h)
+                     c)(h)
         up = _proj(c.intermediate, "up_proj", lora, c.jnp_dtype,
-                   c.quantized)(h)
+                   c)(h)
         x = x + _proj(c.hidden, "down_proj", lora, c.jnp_dtype,
-                      c.quantized)(nn.silu(gate) * up)
+                      c)(nn.silu(gate) * up)
         return x, cache
 
 
@@ -396,6 +403,7 @@ class LlavaJax(nn.Module):
         if c.quantized:
             from leafgrasp_tpu.vla.quant import QuantDense
             logits = QuantDense(c.vocab_size, dtype=c.jnp_dtype,
+                                bits=c.quant_bits, group=c.quant_group,
                                 name="lm_head")(x)
         else:
             logits = nn.Dense(c.vocab_size, use_bias=False,

@@ -9,11 +9,19 @@ dequantized inside the matmul read. Decode is weight-HBM-bound
 speeds the per-token step and halves the 14.1 GB resident footprint --
 which is what lets the FUSED scan decode fit on one 16 GB chip again.
 
-Scheme: for kernel W (in, out), scale_j = max_i |W_ij| / 127,
+Scheme (int8): for kernel W (in, out), scale_j = max_i |W_ij| / 127,
 Q = round(W / scale) in int8; serving computes y = (x @ Q) * scale with
 the int8->bf16 convert fused into the dot and the f32 scale applied to
 the (B, out) result -- mathematically identical to x @ (Q * scale) but
 never materializes a dequantized weight.
+
+Scheme (int4): Q stored in the NATIVE ``jnp.int4`` dtype (XLA packs two
+values per byte in HBM on TPU) with GROUP-WISE scales -- scale has shape
+(G, out) for G = in/group groups along the input dimension (per-channel
+int4 is too coarse for transformer kernels; group-wise is the standard
+weight-only-int4 recipe). The matmul becomes G batched (.., gs)x(gs, out)
+dots whose (.., G, out) partials are scaled then summed -- same FLOPs,
+and the per-group scale never touches a materialized weight either.
 
 The vision tower, multimodal projector, embedding table and norms stay
 in the compute dtype (small and/or gather-accessed).
@@ -37,27 +45,71 @@ LM_PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
                  "gate_proj", "up_proj", "down_proj", "lm_head")
 
 
-class QuantDense(nn.Module):
-    """Dense layer over an int8 kernel + per-output-channel f32 scale.
+def _num_groups(in_features: int, bits: int, group: int) -> int:
+    """Scale rows for a kernel: int8 and group<=0 are per-channel (1
+    row, stored 1D for int8 back-compat); int4 uses in/group rows,
+    falling back to per-channel when group does not divide in."""
+    if bits == 8 or group <= 0 or in_features % group != 0:
+        return 1
+    return in_features // group
 
-    Parameters are ``kernel_q`` (in, out) int8 and ``kernel_scale``
-    (out,) f32 -- produced from a float kernel by
+
+class QuantDense(nn.Module):
+    """Dense layer over a quantized kernel + f32 scales.
+
+    bits=8: ``kernel_q`` (in, out) int8, ``kernel_scale`` (out,) f32
+    per-output-channel.
+    bits=4: ``kernel_q`` (in, out) native int4, ``kernel_scale``
+    (G, out) f32 group-wise along the input dimension (G = in/group).
+    Both produced from a float kernel by
     :func:`quantize_llava_variables`, never trained in place.
     """
 
     features: int
     dtype: Any = jnp.bfloat16
+    bits: int = 8
+    group: int = 128
+    # grouped (int4) formulation switch on the STATIC token count:
+    # <= threshold (decode): G batched partial dots scaled in f32 --
+    # weight reads stay packed, the (N, G, out) f32 partials are small;
+    # > threshold (prefill): one dequantized-weight matmul -- the
+    # partials would be ~6 GB at 7B prefill dims, while the transient
+    # dequant weight is just the bf16 kernel (compute-bound regime)
+    dequant_threshold: int = 256
 
     @nn.compact
     def __call__(self, x):
+        in_f = x.shape[-1]
+        qdt = jnp.int8 if self.bits == 8 else jnp.int4
+        g = _num_groups(in_f, self.bits, self.group)
         q = self.param("kernel_q",
-                       lambda key, shape: jnp.zeros(shape, jnp.int8),
-                       (x.shape[-1], self.features))
+                       lambda key, shape: jnp.zeros(shape, qdt),
+                       (in_f, self.features))
         s = self.param("kernel_scale",
                        lambda key, shape: jnp.ones(shape, jnp.float32),
-                       (self.features,))
-        y = x.astype(self.dtype) @ q.astype(self.dtype)
-        return (y.astype(jnp.float32) * s).astype(self.dtype)
+                       (self.features,) if self.bits == 8 and g == 1
+                       else (g, self.features))
+        xc = x.astype(self.dtype)
+        if g == 1:
+            y = xc @ q.astype(self.dtype)
+            return (y.astype(jnp.float32)
+                    * s.reshape(-1)).astype(self.dtype)
+        gs = in_f // g
+        lead = x.shape[:-1]
+        n_tok = int(np.prod(lead)) if lead else 1
+        if n_tok > self.dequant_threshold:
+            w = (q.astype(jnp.float32).reshape(g, gs, self.features)
+                 * s[:, None, :]).astype(self.dtype)
+            y = xc @ w.reshape(in_f, self.features)
+            return y.astype(self.dtype)
+        xg = xc.reshape(-1, g, gs)
+        wg = q.astype(self.dtype).reshape(g, gs, self.features)
+        # (N, g, out) partials, scaled per group then summed: identical
+        # to x @ (Q * scale) without materializing the dequant weight
+        # (the MXU accumulates each partial in f32 internally)
+        part = jnp.einsum("ngi,gio->ngo", xg, wg).astype(jnp.float32)
+        y = (part * s).sum(axis=1)
+        return y.reshape(*lead, self.features).astype(self.dtype)
 
 
 class QuantLoRADense(nn.Module):
@@ -71,10 +123,13 @@ class QuantLoRADense(nn.Module):
     alpha: float = 32.0
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
+    bits: int = 8
+    group: int = 128
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = QuantDense(self.features, dtype=self.dtype, name="base")(x)
+        y = QuantDense(self.features, dtype=self.dtype, bits=self.bits,
+                       group=self.group, name="base")(x)
         a = self.param("lora_a",
                        nn.initializers.normal(1.0 / self.rank),
                        (x.shape[-1], self.rank))
@@ -86,19 +141,33 @@ class QuantLoRADense(nn.Module):
         return y + (self.alpha / self.rank) * ((h @ a) @ b)
 
 
-def _quantize_kernel(w):
-    """(in, out) float kernel -> (int8 Q, f32 scale per column)."""
+def _quantize_kernel(w, bits: int = 8, group: int = 128):
+    """(in, out) float kernel -> (Q, scale).
+
+    bits=8: int8 Q, (out,) f32 per-column scale (|q| <= 127).
+    bits=4: native-int4 Q, (G, out) f32 group-wise scale along the
+    input dim (|q| <= 7; symmetric, one code point of [-8, 7] unused).
+    """
     w = np.asarray(jax.device_get(w), np.float32)
-    scale = np.abs(w).max(axis=0) / 127.0
+    g = _num_groups(w.shape[0], bits, group)
+    qmax = 127.0 if bits == 8 else 7.0
+    wg = w.reshape(g, -1, w.shape[1])
+    scale = np.abs(wg).max(axis=1) / qmax          # (g, out)
     scale = np.where(scale == 0.0, 1.0, scale).astype(np.float32)
-    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
-    return jnp.asarray(q), jnp.asarray(scale)
+    q = np.clip(np.rint(wg / scale[:, None, :]), -qmax, qmax)
+    q = q.reshape(w.shape)
+    if bits == 8:
+        return jnp.asarray(q.astype(np.int8)), jnp.asarray(scale[0])
+    return (jnp.asarray(q.astype(np.int8)).astype(jnp.int4),
+            jnp.asarray(scale))
 
 
-def quantize_llava_variables(variables) -> dict:
+def quantize_llava_variables(variables, bits: int = 8,
+                             group: int = 128) -> dict:
     """Replace every LM projection kernel in a LlavaJax variables tree
     with (kernel_q, kernel_scale); returns a NEW tree matching the
-    parameter layout of ``LlavaJaxConfig(quantized=True)``.
+    parameter layout of ``LlavaJaxConfig(quantized=True,
+    quant_bits=bits, quant_group=group)``.
 
     Quantizes paths whose module name is in :data:`LM_PROJ_NAMES`
     (including LoRA 'base' nestings); vision/projector/embedding leaves
@@ -106,13 +175,15 @@ def quantize_llava_variables(variables) -> dict:
     """
     import flax.traverse_util as tu
 
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
     flat = tu.flatten_dict(variables)
     out = {}
     for k, v in flat.items():
         names = set(k)
         if (k[-1] == "kernel" and names & set(LM_PROJ_NAMES)
                 and "vision_tower" not in names):
-            q, s = _quantize_kernel(v)
+            q, s = _quantize_kernel(v, bits, group)
             out[k[:-1] + ("kernel_q",)] = q
             out[k[:-1] + ("kernel_scale",)] = s
         else:

@@ -146,6 +146,125 @@ def test_qlora_layout_and_mask():
     assert trainable
 
 
+def test_int4_error_bound_group_layout():
+    """int4: kernel_q is native int4 with |q| <= 7; kernel_scale is
+    (G, out) group-wise; per-group dequant error <= scale/2."""
+    import flax.traverse_util as tu
+    _, variables, _, _ = _init_pair(seed=11)
+    qvars = quantize_llava_variables(variables, bits=4, group=16)
+    flat = tu.flatten_dict(variables)
+    qflat = tu.flatten_dict(qvars)
+    for k in _lm_kernel_keys(variables):
+        w = np.asarray(flat[k], np.float32)
+        q = np.asarray(qflat[k[:-1] + ("kernel_q",)], np.int8)
+        s = np.asarray(qflat[k[:-1] + ("kernel_scale",)])
+        g = max(1, w.shape[0] // 16) if w.shape[0] % 16 == 0 else 1
+        assert qflat[k[:-1] + ("kernel_q",)].dtype == jnp.int4
+        assert s.shape == (g, w.shape[1])
+        assert np.abs(q).max() <= 7
+        err = np.abs(q.reshape(g, -1, w.shape[1]).astype(np.float32)
+                     * s[:, None, :] - w.reshape(g, -1, w.shape[1]))
+        assert (err <= s[:, None, :] / 2 + 1e-7).all()
+
+
+def test_int4_logits_exact_on_representable_weights():
+    """Kernels snapped to int4 x power-of-two group scales survive int4
+    quantization exactly -> logits equal the float model's."""
+    import flax.traverse_util as tu
+    model, variables, ids, px = _init_pair(seed=13)
+    flat = dict(tu.flatten_dict(variables))
+    s0 = np.float32(2.0 ** -5)
+    for k in _lm_kernel_keys(variables):
+        w = np.asarray(flat[k], np.float32)
+        q0 = np.clip(np.rint(w / s0), -7, 7)
+        g = w.shape[0] // 16 if w.shape[0] % 16 == 0 else 1
+        q0 = q0.reshape(g, -1, w.shape[1])
+        q0[:, 0, :] = 7.0           # pin each group's max -> scale
+        flat[k] = jnp.asarray(q0.reshape(w.shape) * s0)
+    variables = tu.unflatten_dict(flat)
+
+    ref, _ = model.apply(variables, ids, pixel_values=px)
+
+    qcfg = dataclasses.replace(TINY, quantized=True, quant_bits=4,
+                               quant_group=16)
+    qmodel = LlavaJax(qcfg)
+    qvars = quantize_llava_variables(variables, bits=4, group=16)
+    got, _ = qmodel.apply(qvars, ids, pixel_values=px)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int4_generate_and_qlora():
+    """int4 model drives greedy generate (scan/steps agree) and
+    composes with LoRA (int4 base under 'base', float adapters)."""
+    import flax.traverse_util as tu
+    model, variables, ids, px = _init_pair(seed=17)
+    qcfg = dataclasses.replace(TINY, quantized=True, quant_bits=4,
+                               quant_group=16)
+    qmodel = LlavaJax(qcfg)
+    qvars = quantize_llava_variables(variables, bits=4, group=16)
+    toks_a = greedy_generate_llava(qmodel, qvars, ids[:, :4],
+                                   max_new_tokens=5, decode_mode="scan")
+    toks_b = greedy_generate_llava(qmodel, qvars, ids[:, :4],
+                                   max_new_tokens=5, decode_mode="steps")
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
+
+    lcfg = dataclasses.replace(TINY, lora_rank=2)
+    _, lvars, _, _ = _init_pair(lcfg, seed=19)
+    qlvars = quantize_llava_variables(lvars, bits=4, group=16)
+    qlcfg = dataclasses.replace(lcfg, quantized=True, quant_bits=4,
+                                quant_group=16)
+    logits, _ = LlavaJax(qlcfg).apply(qlvars, ids, pixel_values=px)
+    assert np.isfinite(np.asarray(logits)).all()
+    flat = tu.flatten_dict(qlvars)
+    assert ("params", "layer_0", "self_attn", "q_proj", "base",
+            "kernel_q") in flat
+
+
+def test_int4_partials_vs_dequant_formulations_agree():
+    """QuantDense picks partial-dots (decode) vs dequant-matmul
+    (prefill) by static token count; in f32 both compute
+    x @ (Q * scale) exactly, so outputs match to fp tolerance."""
+    from leafgrasp_tpu.vla.quant import QuantDense
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.normal(size=(300, 32)), jnp.float32)
+    lay_a = QuantDense(24, dtype=jnp.float32, bits=4, group=16,
+                       dequant_threshold=10**9)      # force partials
+    lay_b = QuantDense(24, dtype=jnp.float32, bits=4, group=16,
+                       dequant_threshold=0)          # force dequant
+    v = lay_a.init(jax.random.PRNGKey(0), x)
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(v)
+    kq = jnp.asarray(rng.integers(-7, 8, size=(32, 24)),
+                     jnp.int8).astype(jnp.int4)
+    ks = jnp.asarray(rng.uniform(0.01, 0.1, size=(2, 24)), jnp.float32)
+    flat[("params", "kernel_q")] = kq
+    flat[("params", "kernel_scale")] = ks
+    v = tu.unflatten_dict(flat)
+    ya = lay_a.apply(v, x)
+    yb = lay_b.apply(v, x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int4_tp_sharding():
+    """int4 kernel_q and its (G, out) group scales both shard
+    column-wise over the model axis."""
+    import flax.traverse_util as tu
+    from jax.sharding import Mesh, PartitionSpec as P
+    from leafgrasp_tpu.parallel.sharding import infer_param_shardings
+
+    _, variables, _, _ = _init_pair(seed=23)
+    qvars = quantize_llava_variables(variables, bits=4, group=16)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    sh = tu.flatten_dict(infer_param_shardings(qvars, mesh))
+    qk = [p for p in sh if p[-1] == "kernel_q" and "gate_proj" in p][0]
+    assert sh[qk].spec == P(None, "model")
+    assert sh[qk[:-1] + ("kernel_scale",)].spec == P(None, "model")
+
+
 def test_quantized_tp_sharding():
     """kernel_q shards column-wise over the model axis and kernel_scale
     follows it (parallel/sharding.py rule)."""

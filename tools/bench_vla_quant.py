@@ -44,30 +44,43 @@ from bench_vla import build  # on-device randomized bf16 params
 
 def build_quant(cfg: LlavaJaxConfig, seed: int = 0):
     """Materialize a quantized-model variables tree directly in its
-    serving dtypes (int8 kernels + f32 scales + bf16 rest)."""
+    serving dtypes (int8/int4 kernels + f32 scales + bf16 rest)."""
     model = LlavaJax(cfg)
     ids = jnp.zeros((1, 8), jnp.int32)
     px = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids,
                             pixel_values=px)
     key = [jax.random.PRNGKey(seed)]
+    qmax = 127 if cfg.quant_bits == 8 else 7
 
     def make(path, leaf):
         key[0], sub = jax.random.split(key[0])
         name = path[-1].key
         if name == "kernel_q":
+            dt = leaf.dtype
             return jax.jit(lambda k: jax.random.randint(
-                k, leaf.shape, -127, 128, jnp.int8))(sub)
+                k, leaf.shape, -qmax, qmax + 1, jnp.int8).astype(dt))(sub)
         if name == "kernel_scale":
             # match the bf16 baseline's 0.02-normal magnitude:
-            # max|w| over an in-dim column ~ 0.02 * 3.5
-            return jnp.full(leaf.shape, 0.02 * 3.5 / 127.0, jnp.float32)
+            # max|w| over an in-dim column/group ~ 0.02 * 3.5
+            return jnp.full(leaf.shape, 0.02 * 3.5 / qmax, jnp.float32)
         dt = jnp.bfloat16 if leaf.dtype == jnp.float32 else leaf.dtype
         return jax.jit(lambda k: (0.02 * jax.random.normal(
             k, leaf.shape, jnp.float32)).astype(dt))(sub)
 
     variables = jax.tree_util.tree_map_with_path(make, shapes)
     return model, variables
+
+
+def weight_hbm_gb():
+    """Live device bytes right after a weights build (validates int4
+    packing: XLA stores S4 two-per-byte on TPU; if it didn't, the int4
+    build would report int8-sized residency). None when the backend
+    exposes no memory_stats (the tunnelled axon backend doesn't --
+    packing is then inferred from the decode step time instead)."""
+    from leafgrasp_tpu.utils.device import live_buffer_bytes
+    b = live_buffer_bytes()
+    return round(b / 2**30, 3) if b else None
 
 
 def time_steps_decode(model, variables, b, t, steps=32):
@@ -130,6 +143,11 @@ def main():
     ap.add_argument("--hidden", type=int, default=2048)
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--batch", type=int, default=5)
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
+                    help="weight-only quantization width for phase B")
+    ap.add_argument("--skip-bf16", action="store_true",
+                    help="skip phase A (compare against a recorded "
+                         "bf16 baseline instead)")
     args = ap.parse_args()
 
     if args.full:
@@ -142,46 +160,56 @@ def main():
                                   heads=h // 128,
                                   kv_heads=max(1, h // 512),
                                   vis_layers=2)
-    qcfg = __import__("dataclasses").replace(base_cfg, quantized=True)
+    qcfg = __import__("dataclasses").replace(
+        base_cfg, quantized=True, quant_bits=args.bits)
     b, t = args.batch, 64
+    qn = f"int{args.bits}"
     res = {}
 
     # ---- phase A: bf16 baseline (then freed) -------------------------
-    model, variables = build(base_cfg)
-    res["bf16_step_ms"] = time_steps_decode(model, variables, b, t)
-    print(f"bf16  steps-decode B={b}: {res['bf16_step_ms']*1e3:7.3f} "
-          f"ms/step", flush=True)
-    res["bf16_rerank_ms"] = time_rerank(model, variables, base_cfg,
-                                        n_cand=b)
-    print(f"bf16  batched {b}-cand rerank: "
-          f"{res['bf16_rerank_ms']*1e3:6.0f} ms/frame", flush=True)
-    del model, variables
+    if not args.skip_bf16:
+        model, variables = build(base_cfg)
+        res["bf16_weights_gb"] = weight_hbm_gb()
+        print(f"bf16  weights resident: {res['bf16_weights_gb']} GiB",
+              flush=True)
+        res["bf16_step_ms"] = time_steps_decode(model, variables, b, t)
+        print(f"bf16  steps-decode B={b}: "
+              f"{res['bf16_step_ms']*1e3:7.3f} ms/step", flush=True)
+        res["bf16_rerank_ms"] = time_rerank(model, variables, base_cfg,
+                                            n_cand=b)
+        print(f"bf16  batched {b}-cand rerank: "
+              f"{res['bf16_rerank_ms']*1e3:6.0f} ms/frame", flush=True)
+        del model, variables
 
-    # ---- phase B: weight-only int8 ------------------------------------
+    # ---- phase B: weight-only quantized -------------------------------
     qmodel, qvars = build_quant(qcfg)
-    res["int8_step_ms"] = time_steps_decode(qmodel, qvars, b, t)
-    print(f"int8  steps-decode B={b}: {res['int8_step_ms']*1e3:7.3f} "
+    res[f"{qn}_weights_gb"] = weight_hbm_gb()
+    print(f"{qn}  weights resident: {res[f'{qn}_weights_gb']} GiB",
+          flush=True)
+    res[f"{qn}_step_ms"] = time_steps_decode(qmodel, qvars, b, t)
+    print(f"{qn}  steps-decode B={b}: {res[f'{qn}_step_ms']*1e3:7.3f} "
           f"ms/step", flush=True)
-    res["int8_rerank_ms"] = time_rerank(qmodel, qvars, qcfg, n_cand=b)
-    print(f"int8  batched {b}-cand rerank: "
-          f"{res['int8_rerank_ms']*1e3:6.0f} ms/frame", flush=True)
+    res[f"{qn}_rerank_ms"] = time_rerank(qmodel, qvars, qcfg, n_cand=b)
+    print(f"{qn}  batched {b}-cand rerank: "
+          f"{res[f'{qn}_rerank_ms']*1e3:6.0f} ms/frame", flush=True)
     try:
-        res["int8_rerank_scan_ms"] = time_rerank(
+        res[f"{qn}_rerank_scan_ms"] = time_rerank(
             qmodel, qvars, qcfg, n_cand=b, decode_mode="scan")
-        print(f"int8  batched rerank, FUSED scan decode: "
-              f"{res['int8_rerank_scan_ms']*1e3:6.0f} ms/frame",
+        print(f"{qn}  batched rerank, FUSED scan decode: "
+              f"{res[f'{qn}_rerank_scan_ms']*1e3:6.0f} ms/frame",
               flush=True)
     except Exception as e:
-        res["int8_rerank_scan_ms"] = None
-        print(f"int8 scan decode failed "
+        res[f"{qn}_rerank_scan_ms"] = None
+        print(f"{qn} scan decode failed "
               f"({type(e).__name__}: {str(e)[:160]})", flush=True)
 
-    res["step_speedup"] = round(res["bf16_step_ms"]
-                                / res["int8_step_ms"], 3)
-    res["rerank_speedup"] = round(res["bf16_rerank_ms"]
-                                  / res["int8_rerank_ms"], 3)
+    if not args.skip_bf16:
+        res["step_speedup"] = round(res["bf16_step_ms"]
+                                    / res[f"{qn}_step_ms"], 3)
+        res["rerank_speedup"] = round(res["bf16_rerank_ms"]
+                                      / res[f"{qn}_rerank_ms"], 3)
     print(json.dumps({
-        "metric": "vla_serving_int8_ab",
+        "metric": f"vla_serving_{qn}_ab",
         **{k: (round(v * 1e3, 3) if k.endswith("_ms")
                and isinstance(v, float) else v)
            for k, v in res.items()},
