@@ -76,6 +76,9 @@ class LlavaJaxConfig:
     quantized: bool = False
     quant_bits: int = 8
     quant_group: int = 128
+    # int4 only: nibble-packed int8 storage instead of native jnp.int4
+    # (for backends without S4 executables)
+    quant_packed: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -216,9 +219,11 @@ def _proj(features: int, name: str, lora: dict, dtype=jnp.float32,
                                   alpha=lora["alpha"],
                                   dropout=lora["dropout"],
                                   dtype=dtype, bits=cfg.quant_bits,
-                                  group=cfg.quant_group, name=name)
+                                  group=cfg.quant_group,
+                                  packed=cfg.quant_packed, name=name)
         return QuantDense(features, dtype=dtype, bits=cfg.quant_bits,
-                          group=cfg.quant_group, name=name)
+                          group=cfg.quant_group,
+                          packed=cfg.quant_packed, name=name)
     if lora["rank"] > 0:
         return LoRADense(features, rank=lora["rank"],
                          alpha=lora["alpha"], dropout=lora["dropout"],
@@ -404,6 +409,7 @@ class LlavaJax(nn.Module):
             from leafgrasp_tpu.vla.quant import QuantDense
             logits = QuantDense(c.vocab_size, dtype=c.jnp_dtype,
                                 bits=c.quant_bits, group=c.quant_group,
+                                packed=c.quant_packed,
                                 name="lm_head")(x)
         else:
             logits = nn.Dense(c.vocab_size, use_bias=False,

@@ -23,6 +23,13 @@ weight-only-int4 recipe). The matmul becomes G batched (.., gs)x(gs, out)
 dots whose (.., G, out) partials are scaled then summed -- same FLOPs,
 and the per-group scale never touches a materialized weight either.
 
+int4 storage comes in two flavors: ``native`` keeps the kernel in
+``jnp.int4`` (XLA's packed S4; the production default), ``packed``
+carries two nibbles per int8 byte along the input dimension and
+unpacks with shift pairs inside the layer -- bit-identical math,
+runnable on backends without S4 executables (measured through the
+tunnelled dev backend, tools/bench_vla_quant.py --storage packed).
+
 The vision tower, multimodal projector, embedding table and norms stay
 in the compute dtype (small and/or gather-accessed).
 """
@@ -43,6 +50,14 @@ __all__ = ["QuantDense", "QuantLoRADense", "quantize_llava_variables",
 #: reference LoRA-targets, vla_trainer.py:33-43, plus lm_head)
 LM_PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
                  "gate_proj", "up_proj", "down_proj", "lm_head")
+
+
+def _unpack_nibbles(p):
+    """int8 packed byte -> (low, high) sign-extended int4 values in
+    int8. Row 2i lives in the low nibble, row 2i+1 in the high one."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    return lo, hi
 
 
 def _num_groups(in_features: int, bits: int, group: int) -> int:
@@ -69,6 +84,10 @@ class QuantDense(nn.Module):
     dtype: Any = jnp.bfloat16
     bits: int = 8
     group: int = 128
+    # int4 only: store two nibbles per int8 byte along the input dim
+    # (kernel_q (in/2, out) int8) instead of native jnp.int4 -- for
+    # backends without S4 executables; bit-identical math
+    packed: bool = False
     # grouped (int4) formulation switch on the STATIC token count:
     # <= threshold (decode): G batched partial dots scaled in f32 --
     # weight reads stay packed, the (N, G, out) f32 partials are small;
@@ -80,34 +99,56 @@ class QuantDense(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_f = x.shape[-1]
-        qdt = jnp.int8 if self.bits == 8 else jnp.int4
         g = _num_groups(in_f, self.bits, self.group)
-        q = self.param("kernel_q",
-                       lambda key, shape: jnp.zeros(shape, qdt),
-                       (in_f, self.features))
         s = self.param("kernel_scale",
                        lambda key, shape: jnp.ones(shape, jnp.float32),
                        (self.features,) if self.bits == 8 and g == 1
                        else (g, self.features))
         xc = x.astype(self.dtype)
-        if g == 1:
+        if self.bits == 8:
+            q = self.param("kernel_q",
+                           lambda key, shape: jnp.zeros(shape, jnp.int8),
+                           (in_f, self.features))
             y = xc @ q.astype(self.dtype)
             return (y.astype(jnp.float32)
                     * s.reshape(-1)).astype(self.dtype)
+
+        packed = self.packed
+        q = self.param(
+            "kernel_q",
+            lambda key, shape: jnp.zeros(
+                shape, jnp.int8 if packed else jnp.int4),
+            ((in_f // 2, self.features) if packed
+             else (in_f, self.features)))
         gs = in_f // g
         lead = x.shape[:-1]
         n_tok = int(np.prod(lead)) if lead else 1
         if n_tok > self.dequant_threshold:
-            w = (q.astype(jnp.float32).reshape(g, gs, self.features)
+            if packed:
+                lo, hi = _unpack_nibbles(q)
+                qi = jnp.stack([lo, hi], axis=1).reshape(
+                    in_f, self.features)
+            else:
+                qi = q
+            w = (qi.astype(jnp.float32).reshape(g, gs, self.features)
                  * s[:, None, :]).astype(self.dtype)
             y = xc @ w.reshape(in_f, self.features)
             return y.astype(self.dtype)
         xg = xc.reshape(-1, g, gs)
-        wg = q.astype(self.dtype).reshape(g, gs, self.features)
         # (N, g, out) partials, scaled per group then summed: identical
         # to x @ (Q * scale) without materializing the dequant weight
         # (the MXU accumulates each partial in f32 internally)
-        part = jnp.einsum("ngi,gio->ngo", xg, wg).astype(jnp.float32)
+        if packed:
+            lo, hi = _unpack_nibbles(q)
+            half = gs // 2
+            lo = lo.astype(self.dtype).reshape(g, half, self.features)
+            hi = hi.astype(self.dtype).reshape(g, half, self.features)
+            part = (jnp.einsum("ngi,gio->ngo", xg[..., 0::2], lo)
+                    + jnp.einsum("ngi,gio->ngo", xg[..., 1::2], hi)
+                    ).astype(jnp.float32)
+        else:
+            wg = q.astype(self.dtype).reshape(g, gs, self.features)
+            part = jnp.einsum("ngi,gio->ngo", xg, wg).astype(jnp.float32)
         y = (part * s).sum(axis=1)
         return y.reshape(*lead, self.features).astype(self.dtype)
 
@@ -125,11 +166,13 @@ class QuantLoRADense(nn.Module):
     dtype: Any = jnp.bfloat16
     bits: int = 8
     group: int = 128
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = QuantDense(self.features, dtype=self.dtype, bits=self.bits,
-                       group=self.group, name="base")(x)
+                       group=self.group, packed=self.packed,
+                       name="base")(x)
         a = self.param("lora_a",
                        nn.initializers.normal(1.0 / self.rank),
                        (x.shape[-1], self.rank))
@@ -141,12 +184,14 @@ class QuantLoRADense(nn.Module):
         return y + (self.alpha / self.rank) * ((h @ a) @ b)
 
 
-def _quantize_kernel(w, bits: int = 8, group: int = 128):
+def _quantize_kernel(w, bits: int = 8, group: int = 128,
+                     packed: bool = False):
     """(in, out) float kernel -> (Q, scale).
 
     bits=8: int8 Q, (out,) f32 per-column scale (|q| <= 127).
-    bits=4: native-int4 Q, (G, out) f32 group-wise scale along the
-    input dim (|q| <= 7; symmetric, one code point of [-8, 7] unused).
+    bits=4: native-int4 Q -- or (in/2, out) int8 nibble-packed when
+    ``packed`` -- with (G, out) f32 group-wise scale along the input
+    dim (|q| <= 7; symmetric, one code point of [-8, 7] unused).
     """
     w = np.asarray(jax.device_get(w), np.float32)
     g = _num_groups(w.shape[0], bits, group)
@@ -158,16 +203,22 @@ def _quantize_kernel(w, bits: int = 8, group: int = 128):
     q = q.reshape(w.shape)
     if bits == 8:
         return jnp.asarray(q.astype(np.int8)), jnp.asarray(scale[0])
+    if packed:
+        qi = q.astype(np.int64)
+        p = ((qi[0::2] & 0xF) | ((qi[1::2] & 0xF) << 4)).astype(
+            np.uint8).view(np.int8)
+        return jnp.asarray(p), jnp.asarray(scale)
     return (jnp.asarray(q.astype(np.int8)).astype(jnp.int4),
             jnp.asarray(scale))
 
 
 def quantize_llava_variables(variables, bits: int = 8,
-                             group: int = 128) -> dict:
+                             group: int = 128,
+                             packed: bool = False) -> dict:
     """Replace every LM projection kernel in a LlavaJax variables tree
     with (kernel_q, kernel_scale); returns a NEW tree matching the
     parameter layout of ``LlavaJaxConfig(quantized=True,
-    quant_bits=bits, quant_group=group)``.
+    quant_bits=bits, quant_group=group, quant_packed=packed)``.
 
     Quantizes paths whose module name is in :data:`LM_PROJ_NAMES`
     (including LoRA 'base' nestings); vision/projector/embedding leaves
@@ -183,7 +234,7 @@ def quantize_llava_variables(variables, bits: int = 8,
         names = set(k)
         if (k[-1] == "kernel" and names & set(LM_PROJ_NAMES)
                 and "vision_tower" not in names):
-            q, s = _quantize_kernel(v, bits, group)
+            q, s = _quantize_kernel(v, bits, group, packed)
             out[k[:-1] + ("kernel_q",)] = q
             out[k[:-1] + ("kernel_scale",)] = s
         else:

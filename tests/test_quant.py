@@ -248,6 +248,64 @@ def test_int4_partials_vs_dequant_formulations_agree():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_int4_packed_storage_matches_native():
+    """Nibble-packed int8 storage (for backends without S4) carries
+    exactly the same quantized values as native int4: logits agree to
+    fp-summation tolerance on both decode (partials) and prefill
+    (dequant) formulations, and packed generate runs."""
+    model, variables, ids, px = _init_pair(seed=31)
+    nat = quantize_llava_variables(variables, bits=4, group=16)
+    pk = quantize_llava_variables(variables, bits=4, group=16,
+                                  packed=True)
+    import flax.traverse_util as tu
+    pq = tu.flatten_dict(pk)[("params", "layer_0", "self_attn",
+                              "q_proj", "kernel_q")]
+    assert pq.dtype == jnp.int8 and pq.shape[0] == TINY.hidden // 2
+
+    ncfg = dataclasses.replace(TINY, quantized=True, quant_bits=4,
+                               quant_group=16)
+    pcfg = dataclasses.replace(ncfg, quant_packed=True)
+    ref, _ = LlavaJax(ncfg).apply(nat, ids, pixel_values=px)
+    got, _ = LlavaJax(pcfg).apply(pk, ids, pixel_values=px)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    toks = greedy_generate_llava(LlavaJax(pcfg), pk, ids[:, :4],
+                                 max_new_tokens=4, decode_mode="steps")
+    ref_toks = greedy_generate_llava(LlavaJax(ncfg), nat, ids[:, :4],
+                                     max_new_tokens=4,
+                                     decode_mode="steps")
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+
+
+def test_int4_packed_formulations_agree():
+    """Packed storage: decode-partials and prefill-dequant paths agree
+    (mirrors the native-formulation test, exercising the nibble unpack
+    in both)."""
+    from leafgrasp_tpu.vla.quant import QuantDense
+
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(rng.normal(size=(300, 32)), jnp.float32)
+    lay_a = QuantDense(24, dtype=jnp.float32, bits=4, group=16,
+                       packed=True, dequant_threshold=10**9)
+    lay_b = QuantDense(24, dtype=jnp.float32, bits=4, group=16,
+                       packed=True, dequant_threshold=0)
+    v = lay_a.init(jax.random.PRNGKey(0), x)
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(v)
+    q = rng.integers(-7, 8, size=(32, 24)).astype(np.int64)
+    p = ((q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)).astype(
+        np.uint8).view(np.int8)
+    flat[("params", "kernel_q")] = jnp.asarray(p)
+    flat[("params", "kernel_scale")] = jnp.asarray(
+        rng.uniform(0.01, 0.1, size=(2, 24)), jnp.float32)
+    v = tu.unflatten_dict(flat)
+    ya = lay_a.apply(v, x)
+    yb = lay_b.apply(v, x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_int4_tp_sharding():
     """int4 kernel_q and its (G, out) group scales both shard
     column-wise over the model axis."""

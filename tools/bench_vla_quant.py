@@ -52,6 +52,8 @@ def build_quant(cfg: LlavaJaxConfig, seed: int = 0):
                             pixel_values=px)
     key = [jax.random.PRNGKey(seed)]
     qmax = 127 if cfg.quant_bits == 8 else 7
+    if cfg.quant_packed:
+        qmax = 127        # packed bytes carry two random nibbles
 
     def make(path, leaf):
         key[0], sub = jax.random.split(key[0])
@@ -145,6 +147,10 @@ def main():
     ap.add_argument("--batch", type=int, default=5)
     ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
                     help="weight-only quantization width for phase B")
+    ap.add_argument("--storage", choices=("native", "packed"),
+                    default="native",
+                    help="int4 kernel storage: native jnp.int4 or "
+                         "nibble-packed int8 (for backends without S4)")
     ap.add_argument("--skip-bf16", action="store_true",
                     help="skip phase A (compare against a recorded "
                          "bf16 baseline instead)")
@@ -161,9 +167,10 @@ def main():
                                   kv_heads=max(1, h // 512),
                                   vis_layers=2)
     qcfg = __import__("dataclasses").replace(
-        base_cfg, quantized=True, quant_bits=args.bits)
+        base_cfg, quantized=True, quant_bits=args.bits,
+        quant_packed=(args.bits == 4 and args.storage == "packed"))
     b, t = args.batch, 64
-    qn = f"int{args.bits}"
+    qn = f"int{args.bits}" + ("p" if qcfg.quant_packed else "")
     res = {}
 
     # ---- phase A: bf16 baseline (then freed) -------------------------
