@@ -114,6 +114,10 @@ class QuantDense(nn.Module):
                     * s.reshape(-1)).astype(self.dtype)
 
         packed = self.packed
+        if packed and (in_f // g) % 2:
+            raise ValueError(
+                f"packed int4 needs an even group size, got "
+                f"{in_f // g} (in={in_f}, groups={g})")
         q = self.param(
             "kernel_q",
             lambda key, shape: jnp.zeros(
@@ -204,6 +208,10 @@ def _quantize_kernel(w, bits: int = 8, group: int = 128,
     if bits == 8:
         return jnp.asarray(q.astype(np.int8)), jnp.asarray(scale[0])
     if packed:
+        if (w.shape[0] // g) % 2:
+            raise ValueError(
+                f"packed int4 needs an even group size, got "
+                f"{w.shape[0] // g}")
         qi = q.astype(np.int64)
         p = ((qi[0::2] & 0xF) | ((qi[1::2] & 0xF) << 4)).astype(
             np.uint8).view(np.int8)
