@@ -298,3 +298,109 @@ def test_sharded_orientation_fragmented_leaf():
     assert int(r_sh.leaf_id) == int(r_un.leaf_id)
     np.testing.assert_array_equal(np.asarray(r_sh.grasp_uv),
                                   np.asarray(r_un.grasp_uv))
+
+
+# ---------------------------------------------------------------- pipeline --
+
+def _tiny_llava(layers=8, sliding_window=None):
+    from leafgrasp_tpu.vla.llava_jax import LlavaJax, LlavaJaxConfig
+    cfg = LlavaJaxConfig(
+        vis_hidden=16, vis_intermediate=32, vis_layers=1, vis_heads=2,
+        image_size=28, patch_size=14, vocab_size=64, hidden=16,
+        intermediate=32, layers=layers, heads=2, kv_heads=1,
+        image_token_index=60, sliding_window=sliding_window)
+    model = LlavaJax(cfg)
+    ids = np.array([[1, 60, 60, 60, 60, 2, 7, 9]], np.int32)
+    ids = np.tile(ids, (4, 1))
+    px = np.linspace(-1, 1, 4 * 28 * 28 * 3, dtype=np.float32)
+    px = px.reshape(4, 28, 28, 3)
+    variables = model.init(jax.random.PRNGKey(0), jax.numpy.asarray(ids),
+                           pixel_values=jax.numpy.asarray(px))
+    return model, variables, ids, px
+
+
+@pytest.mark.parametrize("n_micro,sliding", [(4, None), (2, 3)])
+def test_pp_llava_forward_matches_plain(n_micro, sliding):
+    """GPipe forward over 8 pipeline stages == plain LlavaJax.apply."""
+    from leafgrasp_tpu.parallel.pipeline import (make_pp_llava_forward,
+                                                 shard_stage_params,
+                                                 split_decoder_stages)
+    mesh = make_mesh(8, model_axis=1)
+    model, variables, ids, px = _tiny_llava(sliding_window=sliding)
+    ref, _ = jax.jit(lambda v, i, p: model.apply(v, i, pixel_values=p))(
+        variables, ids, px)
+
+    stages, rest = split_decoder_stages(variables, model.cfg, 8)
+    stages = shard_stage_params(mesh, stages)
+    fn = make_pp_llava_forward(mesh, model, n_microbatches=n_micro)
+    out = fn(rest, stages, ids, px)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pp_llava_on_model_axis_and_last_only():
+    """Pipeline over the 'model' axis of a (2, 4) mesh; last-pos logits."""
+    from leafgrasp_tpu.parallel.pipeline import (make_pp_llava_forward,
+                                                 shard_stage_params,
+                                                 split_decoder_stages)
+    mesh = make_mesh(8, model_axis=4)
+    model, variables, ids, px = _tiny_llava()
+    ref, _ = jax.jit(lambda v, i, p: model.apply(v, i, pixel_values=p))(
+        variables, ids, px)
+
+    stages, rest = split_decoder_stages(variables, model.cfg, 4)
+    stages = shard_stage_params(mesh, stages, axis="model")
+    fn = make_pp_llava_forward(mesh, model, n_microbatches=4,
+                               axis="model", logits_last_only=True)
+    out = fn(rest, stages, ids, px)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref)[:, -1:],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pp_llava_grad_matches_plain():
+    """jax.grad through the pipeline (ppermute transposes) == plain grads."""
+    from leafgrasp_tpu.parallel.pipeline import (make_pp_llava_forward,
+                                                 shard_stage_params,
+                                                 split_decoder_stages)
+    mesh = make_mesh(8, model_axis=1)
+    model, variables, ids, px = _tiny_llava()
+    tgt = np.arange(4 * 8, dtype=np.int64).reshape(4, 8) % 64
+
+    def plain_loss(params):
+        logits, _ = model.apply({"params": params}, ids, pixel_values=px)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp_take_loss(lp, tgt)
+
+    def jnp_take_loss(lp, tgt):
+        import jax.numpy as jnp
+        oh = jax.nn.one_hot(jnp.asarray(tgt), lp.shape[-1])
+        return jnp.mean(jnp.sum(lp * oh, axis=-1))
+
+    ref_grads = jax.jit(jax.grad(plain_loss))(variables["params"])
+
+    stages, rest = split_decoder_stages(variables, model.cfg, 8)
+    stages_s = shard_stage_params(mesh, stages)
+    fn = make_pp_llava_forward(mesh, model, n_microbatches=4)
+
+    def pp_loss(st):
+        logits = fn(rest, st, ids, px)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp_take_loss(lp, tgt)
+
+    pp_grads = jax.jit(jax.grad(pp_loss))(stages_s)
+
+    # re-stack the plain per-layer grads into the (S, L/S, ...) layout
+    layer_grads = [ref_grads[f"layer_{i}"] for i in range(8)]
+    want = jax.tree.map(lambda *xs: np.stack(xs)[:, None], *layer_grads)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
+        pp_grads, want)
+
+
+def test_pp_split_rejects_indivisible():
+    from leafgrasp_tpu.parallel.pipeline import split_decoder_stages
+    model, variables, *_ = _tiny_llava(layers=6)
+    with pytest.raises(ValueError):
+        split_decoder_stages(variables, model.cfg, 4)
