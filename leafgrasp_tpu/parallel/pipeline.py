@@ -113,7 +113,8 @@ def _embed_and_splice(model, rest, input_ids, pixel_values):
 
 def make_pp_llava_forward(mesh, model, n_microbatches: int,
                           axis: str = "data",
-                          logits_last_only: bool = False):
+                          logits_last_only: bool = False,
+                          remat: bool = False):
     """Build the pipelined forward: fn(rest, stages, input_ids,
     pixel_values=None) -> logits (B, T, vocab) [or (B, 1, vocab)].
 
@@ -127,6 +128,12 @@ def make_pp_llava_forward(mesh, model, n_microbatches: int,
                       efficient regime (e.g. the 5-candidate rerank at
                       M=5 on a 4-stage pipeline runs at 5/8 utilization).
 
+    remat=True wraps each layer in ``jax.checkpoint``: under ``grad``
+    only the layer INPUTS stay live through the schedule and the layer
+    internals (attention probs, gate/up activations) recompute in the
+    backward pass -- the standard memory/FLOPs trade for pipeline
+    training, where GPipe keeps M microbatches of activations alive.
+
     ``stages`` comes from :func:`split_decoder_stages` +
     :func:`shard_stage_params`; ``rest`` is replicated.
     """
@@ -139,11 +146,17 @@ def make_pp_llava_forward(mesh, model, n_microbatches: int,
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
     n_steps = n_microbatches + n_stages - 1
 
+    def apply_one(lp, h, positions, mask):
+        h, _ = layer.apply({"params": lp}, h, positions, mask)
+        return h
+
+    if remat:
+        apply_one = jax.checkpoint(apply_one)
+
     def stage_apply(stage_params, x, positions, mask):
         # stage_params leaves: (L/S, *param) -> scan one layer at a time
         def body(h, lp):
-            h, _ = layer.apply({"params": lp}, h, positions, mask)
-            return h, None
+            return apply_one(lp, h, positions, mask), None
 
         x, _ = jax.lax.scan(body, x, stage_params)
         return x

@@ -358,7 +358,8 @@ def test_pp_llava_on_model_axis_and_last_only():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_pp_llava_grad_matches_plain():
+@pytest.mark.parametrize("remat", [False, True])
+def test_pp_llava_grad_matches_plain(remat):
     """jax.grad through the pipeline (ppermute transposes) == plain grads."""
     from leafgrasp_tpu.parallel.pipeline import (make_pp_llava_forward,
                                                  shard_stage_params,
@@ -381,7 +382,7 @@ def test_pp_llava_grad_matches_plain():
 
     stages, rest = split_decoder_stages(variables, model.cfg, 8)
     stages_s = shard_stage_params(mesh, stages)
-    fn = make_pp_llava_forward(mesh, model, n_microbatches=4)
+    fn = make_pp_llava_forward(mesh, model, n_microbatches=4, remat=remat)
 
     def pp_loss(st):
         logits = fn(rest, st, ids, px)
