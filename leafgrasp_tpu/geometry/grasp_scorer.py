@@ -11,9 +11,12 @@ Documented divergences (see SURVEY.md section 7 hard parts):
 * ``cv2.distanceTransform(.., DIST_L2, 3|5)`` chamfer approximations are
   replaced by the exact EDT (strictly more accurate; downstream uses are
   a >20px threshold, a ridge Gaussian, and max-normalized fields);
-* the leaf major-axis direction comes from image-moment PCA instead of
-  ``cv2.minAreaRect`` of the largest contour (same axis for elongated
-  blobs; only the |cross| alignment term consumes it);
+* the leaf major-axis direction defaults to the reference-faithful
+  exact ``min_area_rect`` (run-graph connected components + rotating
+  calipers, ops/pca.py -- matches ``cv2.minAreaRect`` of the largest
+  contour; config.py ``orientation_source="min_area_rect"``); the
+  cheaper image-moment PCA remains selectable and agrees on elongated
+  blobs (divergence quantified in PARITY.json orientation_probe);
 * the reference treats an absent orientation (no contour) as
   alignment == 1 everywhere; PCA on an empty mask is flagged invalid and
   handled the same way.

@@ -360,7 +360,10 @@ def test_pp_llava_on_model_axis_and_last_only():
 
 @pytest.mark.parametrize("remat", [False, True])
 def test_pp_llava_grad_matches_plain(remat):
-    """jax.grad through the pipeline (ppermute transposes) == plain grads."""
+    """jax.grad through the pipeline (ppermute transposes) == plain
+    grads -- for the staged layer params AND the replicated rest
+    (embed/vision/norm/head), whose grads flow through the psum/where
+    transposes."""
     from leafgrasp_tpu.parallel.pipeline import (make_pp_llava_forward,
                                                  shard_stage_params,
                                                  split_decoder_stages)
@@ -384,12 +387,13 @@ def test_pp_llava_grad_matches_plain(remat):
     stages_s = shard_stage_params(mesh, stages)
     fn = make_pp_llava_forward(mesh, model, n_microbatches=4, remat=remat)
 
-    def pp_loss(st):
-        logits = fn(rest, st, ids, px)
+    def pp_loss(rest_and_stages):
+        r, st = rest_and_stages
+        logits = fn(r, st, ids, px)
         lp = jax.nn.log_softmax(logits, axis=-1)
         return -jnp_take_loss(lp, tgt)
 
-    pp_grads = jax.jit(jax.grad(pp_loss))(stages_s)
+    rest_grads, pp_grads = jax.jit(jax.grad(pp_loss))((rest, stages_s))
 
     # re-stack the plain per-layer grads into the (S, L/S, ...) layout
     layer_grads = [ref_grads[f"layer_{i}"] for i in range(8)]
@@ -398,6 +402,116 @@ def test_pp_llava_grad_matches_plain(remat):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
         pp_grads, want)
+    # rest grads (embed_tokens, vision tower, norm, lm_head) match too
+    want_rest = {k: ref_grads[k] for k in rest_grads}
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5),
+        rest_grads, want_rest)
+
+
+def test_pp_llava_forward_quantized():
+    """PP forward over an int8-quantized model == plain quantized apply
+    (covers the QuantDense lm_head in the replicated head projection)."""
+    import dataclasses
+    from leafgrasp_tpu.parallel.pipeline import (make_pp_llava_forward,
+                                                 shard_stage_params,
+                                                 split_decoder_stages)
+    from leafgrasp_tpu.vla.llava_jax import LlavaJax
+    from leafgrasp_tpu.vla.quant import quantize_llava_variables
+
+    mesh = make_mesh(8, model_axis=1)
+    model, variables, ids, px = _tiny_llava()
+    qcfg = dataclasses.replace(model.cfg, quantized=True, quant_group=8)
+    qmodel = LlavaJax(qcfg)
+    qvars = quantize_llava_variables(variables)
+    ref, _ = jax.jit(lambda v, i, p: qmodel.apply(v, i, pixel_values=p))(
+        qvars, ids, px)
+
+    stages, rest = split_decoder_stages(qvars, qcfg, 8)
+    stages = shard_stage_params(mesh, stages)
+    fn = make_pp_llava_forward(mesh, qmodel, n_microbatches=4)
+    out = fn(rest, stages, ids, px)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pp_llava_forward_image_features():
+    """Anyres-style packed image_features pass through the PP forward
+    identically to the plain model (llava_jax.py:364-374 semantics)."""
+    from leafgrasp_tpu.parallel.pipeline import (make_pp_llava_forward,
+                                                 shard_stage_params,
+                                                 split_decoder_stages)
+    mesh = make_mesh(8, model_axis=1)
+    model, variables, ids, _ = _tiny_llava()
+    # 4 rows x 4 image tokens = 16 packed feature rows
+    feats = jax.random.normal(jax.random.PRNGKey(3),
+                              (16, model.cfg.hidden), jnp_dtype())
+    ref, _ = jax.jit(lambda v, i, f: model.apply(v, i, image_features=f))(
+        variables, ids, feats)
+
+    stages, rest = split_decoder_stages(variables, model.cfg, 8)
+    stages = shard_stage_params(mesh, stages)
+    fn = make_pp_llava_forward(mesh, model, n_microbatches=4)
+    out = fn(rest, stages, ids, image_features=feats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def jnp_dtype():
+    import jax.numpy as jnp
+    return jnp.float32
+
+
+def test_pp_tp_llava_forward_matches_plain():
+    """PP over 'data' x TP over 'model' on a (4, 2) mesh: stages hold
+    layer-slice x head-slice params; Megatron psums restore the full
+    o_proj/down_proj outputs. Matches the plain forward."""
+    from leafgrasp_tpu.parallel.pipeline import (make_pp_llava_forward,
+                                                 shard_stage_params,
+                                                 split_decoder_stages)
+    from leafgrasp_tpu.vla.llava_jax import LlavaJax, LlavaJaxConfig
+
+    mesh = make_mesh(8, model_axis=2)   # data=4 (PP), model=2 (TP)
+    cfg = LlavaJaxConfig(
+        vis_hidden=16, vis_intermediate=32, vis_layers=1, vis_heads=2,
+        image_size=28, patch_size=14, vocab_size=64, hidden=16,
+        intermediate=32, layers=8, heads=4, kv_heads=2,
+        image_token_index=60)
+    model = LlavaJax(cfg)
+    ids = np.tile(np.array([[1, 60, 60, 60, 60, 2, 7, 9]], np.int32),
+                  (4, 1))
+    px = np.linspace(-1, 1, 4 * 28 * 28 * 3, dtype=np.float32)
+    px = px.reshape(4, 28, 28, 3)
+    variables = model.init(jax.random.PRNGKey(0), jax.numpy.asarray(ids),
+                           pixel_values=jax.numpy.asarray(px))
+    ref, _ = jax.jit(lambda v, i, p: model.apply(v, i, pixel_values=p))(
+        variables, ids, px)
+
+    stages, rest = split_decoder_stages(variables, cfg, 4)
+    stages = shard_stage_params(mesh, stages, axis="data",
+                                tp_axis="model")
+    # verify the TP sharding actually split the kernels both ways
+    qk = stages["self_attn"]["q_proj"]["kernel"]
+    shard_shapes = {s.data.shape for s in qk.addressable_shards}
+    assert shard_shapes == {(1, 2, 16, 8)}   # (S/4, L/S, in, out/2)
+    ok = stages["self_attn"]["o_proj"]["kernel"]
+    assert {s.data.shape for s in ok.addressable_shards} == {(1, 2, 8, 16)}
+
+    fn = make_pp_llava_forward(mesh, model, n_microbatches=4,
+                               tp_axis="model")
+    out = fn(rest, stages, ids, px)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pp_tp_rejects_indivisible_heads():
+    from leafgrasp_tpu.parallel.pipeline import make_pp_llava_forward
+    mesh = make_mesh(8, model_axis=2)
+    model, *_ = _tiny_llava()          # kv_heads=1, not divisible by 2
+    with pytest.raises(ValueError, match="TP size"):
+        make_pp_llava_forward(mesh, model, n_microbatches=4,
+                              tp_axis="model")
 
 
 def test_pp_split_rejects_indivisible():
