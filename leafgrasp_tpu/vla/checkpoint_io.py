@@ -35,7 +35,8 @@ import numpy as np
 
 __all__ = [
     "read_safetensors", "write_safetensors", "SentencePieceTokenizer",
-    "write_sentencepiece_model", "load_llava_checkpoint", "DictConfig",
+    "write_sentencepiece_model", "load_llava_checkpoint",
+    "parse_llava_config", "DictConfig",
 ]
 
 
@@ -446,6 +447,22 @@ _TEXT_DEFAULTS = {
 }
 
 
+def parse_llava_config(raw: Dict[str, Any]):
+    """config.json dict -> LlavaJaxConfig (defaults filled for fields
+    HF omits). This is the exact parsing ``load_llava_checkpoint``
+    uses; factored out so the full 7B metadata (real dims, anyres
+    grid pinpoints) can be walked through it without 14 GB of weights.
+    """
+    from leafgrasp_tpu.vla.llava_jax import config_from_hf
+    raw = dict(raw)
+    raw["vision_config"] = {**_VISION_DEFAULTS,
+                            **raw.get("vision_config", {})}
+    tc = {**_TEXT_DEFAULTS, **raw.get("text_config", {})}
+    tc.setdefault("num_key_value_heads", tc.get("num_attention_heads"))
+    raw["text_config"] = tc
+    return config_from_hf(DictConfig(raw))
+
+
 def load_llava_checkpoint(path: str, lora_rank: int = 0,
                           dtype: str = "float32",
                           quantize: bool = False,
@@ -471,18 +488,13 @@ def load_llava_checkpoint(path: str, lora_rank: int = 0,
     import dataclasses
     import jax
     import jax.numpy as jnp
-    from leafgrasp_tpu.vla.llava_jax import (LlavaJax, config_from_hf,
+    from leafgrasp_tpu.vla.llava_jax import (LlavaJax,
                                              convert_hf_llava_state_dict,
                                              attach_lora)
 
     with open(os.path.join(path, "config.json")) as f:
         raw = json.load(f)
-    raw["vision_config"] = {**_VISION_DEFAULTS,
-                            **raw.get("vision_config", {})}
-    tc = {**_TEXT_DEFAULTS, **raw.get("text_config", {})}
-    tc.setdefault("num_key_value_heads", tc.get("num_attention_heads"))
-    raw["text_config"] = tc
-    cfg = config_from_hf(DictConfig(raw))
+    cfg = parse_llava_config(raw)
     if lora_rank > 0:
         cfg = dataclasses.replace(cfg, lora_rank=lora_rank)
 

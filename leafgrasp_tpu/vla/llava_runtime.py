@@ -83,13 +83,26 @@ class LlavaJaxScorer:
                  max_new_tokens: int = 10,
                  max_batch: int | None = None,
                  decode_mode: str = "scan",
-                 decode_weight_layout: str = "default"):
+                 decode_weight_layout: str = "default",
+                 anyres: bool = False):
         """max_batch: cap on candidates per generate call (None = all
         at once). decode_mode: "scan" (fused decode loop) or "steps"
         (one program per token). For a 7B model on a single 16 GB chip
         use decode_mode="steps" -- the fused scan's hoisted weight-
         layout copies do not fit next to 14.1 GB of weights at batch 5
         (PERF.md 'VLA serving': batched rerank 549 ms vs 1.28 s).
+
+        anyres: use the LLaVA-NeXT (v1.6) tiling path -- the reference
+        model IS v1.6 (llava-v1.6-mistral-7b, llava_processor.py:18-31)
+        and its transformers pipeline tiles images to the config's
+        grid pinpoints at inference. Tiles encode through the vision
+        tower once per frame (shared across candidates), pack host-side
+        with unpadding + the learned newline row (vla/llava_next.py),
+        and the packed sequence splices in as image_features; the
+        per-row image-token count becomes the packed length (~5x the
+        single-tile 576 at 7B dims). Requires cfg.image_grid_pinpoints
+        and the image_newline param (both carried by checkpoint_io from
+        a v1.6 config.json / safetensors).
 
         decode_weight_layout: "default" keeps weights in default
         layouts; "auto" (steps mode only) compiles the decode-step
@@ -108,14 +121,49 @@ class LlavaJaxScorer:
         self.max_batch = max_batch
         self.decode_mode = decode_mode
         self.decode_weight_layout = decode_weight_layout
+        self.anyres = anyres
+        if anyres:
+            if not model.cfg.image_grid_pinpoints:
+                raise ValueError(
+                    "anyres=True needs cfg.image_grid_pinpoints (a "
+                    "LLaVA-NeXT / v1.6 checkpoint config)")
+            if "image_newline" not in variables.get("params", {}):
+                raise ValueError(
+                    "anyres=True needs the image_newline parameter "
+                    "(present in v1.6 safetensors; checkpoint_io "
+                    "carries it through)")
         self._decode_calls = {}   # (batch, prompt_len) -> compiled call
 
-    def _encode(self, prompt: str, with_image: bool) -> list:
+    def _encode(self, prompt: str, n_image_tokens: int) -> list:
         ids = list(self.tokenizer.encode(prompt))
-        if with_image:
+        if n_image_tokens:
             c = self.model.cfg
-            ids = [c.image_token_index] * c.num_patches + ids
+            ids = [c.image_token_index] * n_image_tokens + ids
         return ids
+
+    def _encode_image(self, image):
+        """Shared per-frame image encode: (1, N, hidden) features + N.
+
+        Single-tile (v1.5) path: one CLIP tower pass, N = num_patches.
+        anyres (v1.6): tile to the best grid pinpoint, encode ALL tiles
+        in one tower batch, pack with unpad + newline host-side.
+        """
+        import jax.numpy as jnp
+        from leafgrasp_tpu.vla.llava_jax import _VisionProject
+
+        c = self.model.cfg
+        if not self.anyres:
+            px = jnp.asarray(preprocess_image(image, c.image_size))
+            f = _VisionProject(c).apply(self.variables, px)
+            return f, c.num_patches
+        from leafgrasp_tpu.vla.llava_next import (preprocess_anyres,
+                                                  pack_anyres_features)
+        tiles, hw = preprocess_anyres(image, c.image_grid_pinpoints, c)
+        tf = _VisionProject(c).apply(self.variables, jnp.asarray(tiles))
+        packed = pack_anyres_features(
+            np.asarray(tf), hw, c.image_grid_pinpoints, c,
+            np.asarray(self.variables["params"]["image_newline"]))
+        return jnp.asarray(packed)[None], packed.shape[0]
 
     def score(self, image, candidates: List[dict],
               instruction: str) -> List[float]:
@@ -132,17 +180,10 @@ class LlavaJaxScorer:
         and can flip a greedy argmax on a near-tie); exact equality is
         verified on the tested f32 CPU configs (tests/test_llava_jax.py).
         """
-        import jax.numpy as jnp
-        from leafgrasp_tpu.vla.llava_jax import _VisionProject
-
-        feats = None
+        feats, n_img = None, 0
         if image is not None:
-            px = jnp.asarray(preprocess_image(
-                image, self.model.cfg.image_size))
-            f = _VisionProject(self.model.cfg).apply(self.variables, px)
-            feats = f  # (1, P, hidden), broadcast below
-        rows = [self._encode(build_prompt(c, instruction),
-                             with_image=image is not None)
+            feats, n_img = self._encode_image(image)  # (1, N, hidden)
+        rows = [self._encode(build_prompt(c, instruction), n_img)
                 for c in candidates]
         step = self.max_batch or len(rows)
         out: List[float] = []

@@ -288,6 +288,75 @@ def test_anyres_preprocess_and_generate(tiny_next_pair):
     assert np.asarray(gen).shape == (1, 4)
 
 
+def test_scorer_anyres_matches_sequential_next_path():
+    """LlavaJaxScorer(anyres=True) batched rerank generates the same
+    tokens as per-candidate llava_next_generate (the serving wiring of
+    the parity-tested v1.6 path; reference llava_processor.py:18-46
+    runs this model family through transformers)."""
+    import jax
+    from leafgrasp_tpu.vla.llava_jax import LlavaJax, LlavaJaxConfig
+    from leafgrasp_tpu.vla.llava_next import (preprocess_anyres,
+                                              llava_next_generate)
+    from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
+    from leafgrasp_tpu.vla.processor import build_prompt
+
+    cfg = LlavaJaxConfig(
+        vis_hidden=16, vis_intermediate=32, vis_layers=1, vis_heads=2,
+        image_size=28, patch_size=14, vocab_size=128, hidden=16,
+        intermediate=32, layers=2, heads=2, kv_heads=1,
+        image_token_index=100,
+        image_grid_pinpoints=((28, 56), (56, 28), (56, 56)))
+    model = LlavaJax(cfg)
+    ids0 = np.array([[1, 100, 100, 100, 100, 2]], np.int32)
+    px0 = np.zeros((1, 28, 28, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), ids0, pixel_values=px0)
+    variables["params"]["image_newline"] = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (cfg.hidden,)))
+
+    class Tok:
+        """decode() encodes the generated ids into the parsed float so
+        score equality <=> token-level equality."""
+
+        def encode(self, text):
+            return [1] + [b % 90 + 2 for b in text.encode()][:40]
+
+        def decode(self, ids):
+            return "0." + "".join(str(int(i) % 10) for i in ids)
+
+    tok = Tok()
+    img = (np.random.default_rng(3).random((40, 50, 3)) * 255
+           ).astype(np.uint8)
+    cands = [dict(x=3, y=4, geometric_score=0.9),
+             dict(x=9, y=2, geometric_score=0.4),
+             dict(x=1, y=8, geometric_score=0.6)]
+
+    scorer = LlavaJaxScorer(model, variables, tok, max_new_tokens=4,
+                            anyres=True)
+    batched = scorer.score(img, cands, "pick")
+
+    tiles, hw = preprocess_anyres(img, cfg.image_grid_pinpoints, cfg)
+    _, n_img = scorer._encode_image(img)
+    assert n_img > cfg.num_patches     # anyres packs MORE than one tile
+    seq = []
+    from leafgrasp_tpu.vla.processor import parse_score
+    for c in cands:
+        row = [cfg.image_token_index] * n_img \
+            + list(tok.encode(build_prompt(c, "pick")))
+        gen = llava_next_generate(model, variables,
+                                  np.asarray([row], np.int32), tiles, hw,
+                                  cfg.image_grid_pinpoints,
+                                  max_new_tokens=4)
+        seq.append(parse_score(tok.decode(np.asarray(gen)[0].tolist())))
+    assert batched == seq
+
+    # missing newline param / pinpoints fail loudly at construction
+    import pytest as _pytest
+    bad = {"params": {k: v for k, v in variables["params"].items()
+                      if k != "image_newline"}}
+    with _pytest.raises(ValueError, match="image_newline"):
+        LlavaJaxScorer(model, bad, tok, anyres=True)
+
+
 def test_anyres_preprocess_byte_parity_with_hf_processor():
     from transformers import LlavaNextImageProcessor
     from PIL import Image
@@ -442,7 +511,8 @@ def test_scorer_batched_matches_sequential(tiny_pair):
     px = jnp.asarray(preprocess_image(img, cfg.image_size))
     seq = []
     for c in cands:
-        ids = scorer._encode(build_prompt(c, "pick the best leaf"), True)
+        ids = scorer._encode(build_prompt(c, "pick the best leaf"),
+                             cfg.num_patches)
         g = greedy_generate_llava(model, variables,
                                   jnp.asarray([ids], jnp.int32),
                                   pixel_values=px, max_new_tokens=4)

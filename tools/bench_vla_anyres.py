@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Anyres (LLaVA-NeXT v1.6) rerank latency at 7B dims on one chip.
+
+The reference model is llava-v1.6-mistral-7b: its transformers pipeline
+tiles each camera frame to the config grid pinpoints
+(llava_processor.py:18-46). For a 1080x1440 frame the 672x672 pinpoint
+wins -> 4 spatial tiles + base = 5 tower passes and a packed sequence
+of ~2.3k image tokens (vs 576 single-tile): prefill grows ~4x and its
+attention transients become the memory term that matters next to the
+weights.
+
+This benches LlavaJaxScorer(anyres=True) end to end (tile preprocess ->
+tower x5 -> pack -> batched prefill + 10-token decode) with randomized
+weights at full 7B dims:
+
+* --quantize int8: the serving configuration (7.05 GB weights leave
+  room for the B=5 anyres prefill);
+* bf16 (default): B=5 may not fit next to 14.1 GB of weights -- the
+  tool falls back to --max-batch 1 (sequential candidates, shared
+  image encode) and says so; that is still 2.3k-token prefills.
+
+Usage: python tools/bench_vla_anyres.py [--quantize int8] [--frames 3]
+           [--max-batch 5] [--tiny]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+V16_PINPOINTS = ((336, 672), (672, 336), (672, 672),
+                 (1008, 336), (336, 1008))
+
+
+class _Tok:
+    def __init__(self, vocab):
+        self.vocab = vocab
+
+    def encode(self, text):
+        ids = [b % (self.vocab - 8) + 3 for b in text.encode()][:59]
+        return [1] + ids + [2] * (59 - len(ids))
+
+    def decode(self, ids):
+        return "0.5"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", choices=["none", "int8"],
+                    default="none")
+    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--candidates", type=int, default=5)
+    ap.add_argument("--max-batch", type=int, default=5)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    from bench_vla import build
+    from leafgrasp_tpu.vla.llava_jax import LlavaJax, LlavaJaxConfig
+    from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
+
+    if args.tiny:
+        cfg = LlavaJaxConfig(
+            vis_hidden=16, vis_intermediate=32, vis_layers=1,
+            vis_heads=2, image_size=28, patch_size=14, vocab_size=128,
+            hidden=16, intermediate=32, layers=2, heads=2, kv_heads=1,
+            image_token_index=100, dtype="bfloat16",
+            image_grid_pinpoints=((28, 56), (56, 28), (56, 56)))
+    else:
+        cfg = LlavaJaxConfig(dtype="bfloat16",
+                             image_grid_pinpoints=V16_PINPOINTS)
+    model, variables = build(cfg)
+    if args.quantize == "int8":
+        from leafgrasp_tpu.vla.quant import quantize_llava_variables
+        qvars = quantize_llava_variables(variables, bits=8)
+        del variables
+        variables = qvars
+        model = LlavaJax(dataclasses.replace(cfg, quantized=True))
+
+    scorer = LlavaJaxScorer(model, variables, _Tok(cfg.vocab_size),
+                            max_new_tokens=10, decode_mode="steps",
+                            max_batch=args.max_batch, anyres=True)
+    rng = np.random.default_rng(0)
+    h, w = (90, 120) if args.tiny else (1080, 1440)
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    feats, n_img = scorer._encode_image(img)
+    print(f"anyres: {feats.shape[1]} packed image tokens "
+          f"(single-tile would be {cfg.num_patches})", flush=True)
+    cands = [dict(x=int(rng.integers(w)), y=int(rng.integers(h)),
+                  geometric_score=float(rng.uniform()))
+             for _ in range(args.candidates)]
+
+    t0 = time.perf_counter()
+    scorer.score(img, cands, "pick the best leaf")
+    compile_s = time.perf_counter() - t0
+    print(f"compiled + first anyres rerank in {compile_s:.1f}s",
+          flush=True)
+
+    best = float("inf")
+    for fi in range(args.frames):
+        t0 = time.perf_counter()
+        scores = scorer.score(img, cands, "pick the best leaf")
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        print(f"frame {fi + 1}: {dt * 1e3:.0f} ms", flush=True)
+    print(json.dumps(dict(
+        mode=f"anyres_{'int8' if args.quantize == 'int8' else 'bf16'}",
+        packed_image_tokens=int(n_img),
+        candidates=args.candidates, max_batch=args.max_batch,
+        best_rerank_ms=round(best * 1e3, 1))))
+
+
+if __name__ == "__main__":
+    main()
