@@ -46,8 +46,17 @@ _KEYS = ("depth_patches", "mask_patches", "score_patches", "labels",
 class GraspDataCollector:
     def __init__(self, data_dir: str, patch_size: int = 32,
                  resume: bool = True, seed: int = 0,
-                 save_every: int = 5):
+                 save_every: int = 5, hard_negatives: bool = False):
+        """hard_negatives: additionally sample NEAR-BOUNDARY points
+        (inside the leaf but within the valid-region edge margin the
+        selector enforces, grasp_point_selector.py:282-288) and
+        TIP-ADJACENT points (an 8-16 px ring around each tip maximum)
+        -- ambiguous patches whose mask/depth content overlaps the
+        positives' distribution. The reference's tip/stem/edge pools
+        are trivially separable on clean synthetic scenes (r2 sweep
+        tied at F1=100); these pools make the corpus discriminating."""
         self.patch_size = patch_size
+        self.hard_negatives = hard_negatives
         self.data_dir = os.path.expanduser(data_dir)
         self.save_every = save_every
         self._rng = jax.random.PRNGKey(seed)
@@ -198,10 +207,15 @@ class GraspDataCollector:
 
     def _collect_negatives(self, leaf_mask, depth, scores,
                            max_negatives: int = 3):
-        """<=1 each from tip/stem/edge regions (data_collector.py:295-348)."""
+        """<=1 each from tip/stem/edge regions (data_collector.py:295-348);
+        with hard_negatives also near-boundary + tip-adjacent pools."""
         pools = [self._tip_points(leaf_mask),
                  self._stem_points(leaf_mask),
                  self._edge_points(leaf_mask)]
+        if self.hard_negatives:
+            pools += [self._near_boundary_points(leaf_mask),
+                      self._tip_adjacent_points(leaf_mask)]
+            max_negatives += 2
         h, w = leaf_mask.shape
         half = self.patch_size // 2
         collected = 0
@@ -242,6 +256,35 @@ class GraspDataCollector:
         k = elliptical_kernel(5)
         er = erode(erode(jnp.asarray(m), k), k)
         ys, xs = np.where(np.asarray(er))
+        return list(zip(xs, ys))
+
+    def _near_boundary_points(self, mask):
+        """Hard pool: on-leaf points with interior distance in
+        (6, min_edge_distance]: the selector's valid region REJECTS
+        them (distance_map > 20, grasp_point_selector.py:282-288) but
+        their 32x32 patches are mostly leaf -- visually near-positive."""
+        m = np.asarray(mask, bool)
+        din = np.asarray(edt(~jnp.asarray(m)))
+        ys, xs = np.where(m & (din > 6.0) & (din <= 20.0))
+        return list(zip(xs, ys))
+
+    def _tip_adjacent_points(self, mask):
+        """Hard pool: the 8-16 px ring around each tip local maximum --
+        same local geometry as a tip without being one."""
+        m = np.asarray(mask, bool)
+        dist = np.asarray(edt(~jnp.asarray(m)))
+        tips = (dilate_gray(dist) == dist) & m
+        tys, txs = np.where(tips)
+        if len(txs) == 0:
+            return []
+        # top-quartile tips only (match _tip_points' selection)
+        order = np.argsort(dist[tys, txs])[::-1]
+        keep = max(1, len(order) // 4)
+        tys, txs = tys[order[:keep]], txs[order[:keep]]
+        seeds = np.zeros_like(m)
+        seeds[tys, txs] = True
+        d_tip = np.asarray(edt(jnp.asarray(seeds)))
+        ys, xs = np.where(m & (d_tip >= 8.0) & (d_tip <= 16.0))
         return list(zip(xs, ys))
 
     def _edge_points(self, mask):

