@@ -278,7 +278,7 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
                                        nearest_seed_dist_1d, squared_edt,
                                        squared_edt_window,
                                        squared_edt_window_src)
-    from leafgrasp_tpu.ops.morphology import dilated_vertical_dist
+    from leafgrasp_tpu.ops.morphology import dilated_vertical_dist_multi
     iso_mode = "skip" if skip_isolation else cfg.isolation_context
 
     def _batched_g2(seeds):
@@ -354,12 +354,20 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
 
     if iso_mode == "union":
         other = jnp.asarray(all_mask, bool) & ~m
-        g2 = _batched_g2(jnp.stack([~m, m]))
-        d_up, d_dn = directional_seed_dist_1d(other, axis=0)
-        gc = dilated_vertical_dist(d_up, d_dn, elliptical_kernel(
-            cfg.isolation_close_kernel)).astype(jnp.float32)
-        gw = dilated_vertical_dist(d_up, d_dn, elliptical_kernel(
-            cfg.isolation_wide_kernel)).astype(jnp.float32)
+        # ONE batched directional scan serves all three pass-1 seeds:
+        # channels 0/1 (~m, m) take the directional min (== nearest),
+        # channel 2 (other) keeps both directions for the dilation
+        # clamp identity. Associative-scan cost is depth-bound, so the
+        # 3-channel scan costs ~the same as the 2-channel one it
+        # replaces plus the separate (H, W) scan it absorbs.
+        d3_up, d3_dn = directional_seed_dist_1d(
+            jnp.stack([~m, m, other]), axis=1)
+        g = jnp.minimum(d3_up[:2], d3_dn[:2]).astype(jnp.float32)
+        g2 = g * g
+        d_up, d_dn = d3_up[2], d3_dn[2]
+        gc, gw = (x.astype(jnp.float32) for x in dilated_vertical_dist_multi(
+            d_up, d_dn, (elliptical_kernel(cfg.isolation_close_kernel),
+                         elliptical_kernel(cfg.isolation_wide_kernel))))
         g2_close, g2_wide = gc * gc, gw * gw
         no_other = ~jnp.any(other)
         maxs, _ = edt_max_argmax_batch(

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["elliptical_kernel", "rect_kernel", "dilate", "erode",
-           "morphological_boundary", "dilated_vertical_dist"]
+           "morphological_boundary", "dilated_vertical_dist",
+           "dilated_vertical_dist_multi"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -217,17 +218,34 @@ def dilated_vertical_dist(d_up: jnp.ndarray, d_dn: jnp.ndarray,
     Returns int32 (H, W); the no-seed sentinel H + W carries through
     (reaches <= kernel size << H keep it above any true distance).
     """
-    runs = _col_runs(np.asarray(kernel))
+    return dilated_vertical_dist_multi(d_up, d_dn, (kernel,))[0]
+
+
+def dilated_vertical_dist_multi(d_up: jnp.ndarray, d_dn: jnp.ndarray,
+                                kernels) -> list:
+    """``dilated_vertical_dist`` for several SEs over the SAME seed set,
+    sharing the shifted d_up/d_dn reads across kernels: each distinct
+    column offset dx (union over kernels) is shifted once and consumed
+    by every kernel with a run at that dx. Bit-identical to per-kernel
+    calls (same mins, reassociated); the isolation close/wide pair
+    (grasp_point_selector.py:607-616) is the intended caller."""
+    runs_per_k = [_col_runs(np.asarray(k)) for k in kernels]
     d_up = jnp.asarray(d_up, jnp.int32)
     d_dn = jnp.asarray(d_dn, jnp.int32)
     h, w = d_up.shape
     big = jnp.int32(h + w)
-    out = jnp.full((h, w), big, jnp.int32)
     zero = jnp.int32(0)
-    for dx, up, dn in runs:
+    # dx -> [(kernel_index, up, dn), ...]
+    by_dx: dict = {}
+    for ki, runs in enumerate(runs_per_k):
+        for dx, up, dn in runs:
+            by_dx.setdefault(dx, []).append((ki, up, dn))
+    outs = [jnp.full((h, w), big, jnp.int32) for _ in kernels]
+    for dx in sorted(by_dx):
         du = _shift_cols_i(d_up, dx, big)
         dd = _shift_cols_i(d_dn, dx, big)
-        cand = jnp.minimum(jnp.maximum(du - up, zero),
-                           jnp.maximum(dd - dn, zero))
-        out = jnp.minimum(out, cand)
-    return out
+        for ki, up, dn in by_dx[dx]:
+            cand = jnp.minimum(jnp.maximum(du - up, zero),
+                               jnp.maximum(dd - dn, zero))
+            outs[ki] = jnp.minimum(outs[ki], cand)
+    return outs

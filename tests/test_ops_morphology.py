@@ -90,3 +90,24 @@ def test_dilated_vertical_dist_matches_dilate_then_scan():
             want = np.asarray(squared_edt_full(
                 jnp.asarray(dilate(mask, K))))
             np.testing.assert_array_equal(got, want)
+
+
+def test_dilated_vertical_dist_multi_bit_equal_per_kernel():
+    """The shared-shift multi-kernel variant is bit-identical to
+    per-kernel calls (same mins in the same dx order) for the
+    isolation close/wide pair and asymmetric extras."""
+    import jax.numpy as jnp
+    from leafgrasp_tpu.ops.edt import directional_seed_dist_1d
+    from leafgrasp_tpu.ops.morphology import (dilated_vertical_dist,
+                                              dilated_vertical_dist_multi,
+                                              elliptical_kernel,
+                                              rect_kernel)
+    rng = np.random.default_rng(5)
+    mask = rng.random((53, 77)) < 0.04
+    du, dd = directional_seed_dist_1d(jnp.asarray(mask), axis=0)
+    kernels = (elliptical_kernel(30), elliptical_kernel(40),
+               elliptical_kernel(7, 13), rect_kernel(5))
+    multi = dilated_vertical_dist_multi(du, dd, kernels)
+    for k, got in zip(kernels, multi):
+        want = dilated_vertical_dist(du, dd, k)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
