@@ -44,7 +44,7 @@ import numpy as np
 import flax.linen as nn
 
 __all__ = ["QuantDense", "QuantLoRADense", "quantize_llava_variables",
-           "LM_PROJ_NAMES"]
+           "quantize_llava_variables_device", "LM_PROJ_NAMES"]
 
 #: projection module names whose kernels quantize (the same set the
 #: reference LoRA-targets, vla_trainer.py:33-43, plus lm_head)
@@ -218,6 +218,58 @@ def _quantize_kernel(w, bits: int = 8, group: int = 128,
         return jnp.asarray(p), jnp.asarray(scale)
     return (jnp.asarray(q.astype(np.int8)).astype(jnp.int4),
             jnp.asarray(scale))
+
+
+@jax.jit
+def _quantize_kernel_int8_device(w):
+    """On-device int8 per-output-channel quantization; same scheme as
+    :func:`_quantize_kernel` (abs-max / 127, zero-scale guard,
+    round-half-even, clip). NOT guaranteed bit-equal to the host path:
+    XLA lowers ``/ 127`` to a reciprocal multiply, so a value landing
+    exactly on a .5 rounding boundary can differ by ONE code (measured
+    ~1/1500 entries; dequant error bound scale/2 + eps unchanged) --
+    bounded by tests/test_quant.py."""
+    w = w.astype(jnp.float32)
+    scale = jnp.abs(w).max(axis=0) / jnp.float32(127.0)
+    scale = jnp.where(scale == 0.0, 1.0, scale)
+    q = jnp.clip(jnp.round(w / scale[None, :]), -127.0, 127.0)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_llava_variables_device(variables_box: list,
+                                    bits: int = 8) -> dict:
+    """int8 :func:`quantize_llava_variables` that stays ON DEVICE and
+    CONSUMES the input tree: pass ``[variables]``; the box is emptied
+    and each bf16 kernel's last reference dies right after its int8
+    replacement is computed, so peak HBM is the input tree + one
+    kernel (a full 7B tree never lives twice, and -- unlike the host
+    path -- no 14 GB crawls through a dev tunnel at ~10 MB/s).
+
+    Only bits=8 (the measured serving default); int4/packed go through
+    the host path, whose numpy packing has no on-device equivalent.
+    """
+    import flax.traverse_util as tu
+
+    if bits != 8:
+        raise ValueError("device quantization supports bits=8 only; "
+                         "use quantize_llava_variables for int4")
+    if not isinstance(variables_box, list) or len(variables_box) != 1:
+        raise ValueError("pass the variables tree in a 1-element list; "
+                         "it is consumed (the box is emptied)")
+    flat = tu.flatten_dict(variables_box.pop())
+    out = {}
+    for k in list(flat.keys()):
+        v = flat.pop(k)
+        names = set(k)
+        if (k[-1] == "kernel" and names & set(LM_PROJ_NAMES)
+                and "vision_tower" not in names):
+            q, s = _quantize_kernel_int8_device(v)
+            del v
+            out[k[:-1] + ("kernel_q",)] = q
+            out[k[:-1] + ("kernel_scale",)] = s
+        else:
+            out[k] = v
+    return tu.unflatten_dict(out)
 
 
 def quantize_llava_variables(variables, bits: int = 8,

@@ -340,3 +340,50 @@ def test_quantized_tp_sharding():
     sk = qk[:-1] + ("kernel_scale",)
     assert sh[qk].spec == P(None, "model")
     assert sh[sk].spec == P("model")
+
+
+def test_device_quantize_matches_host_and_consumes_box():
+    """quantize_llava_variables_device matches the host path (scales to
+    f32 ulps; codes within ONE unit on exact .5 boundaries -- XLA's
+    reciprocal-multiply division, see the docstring) and empties its
+    input box so the bf16 tree frees leaf-by-leaf (the 7B serving
+    motivation: no 14 GB host round trip, no two trees resident)."""
+    import flax.traverse_util as tu
+    from leafgrasp_tpu.vla.quant import quantize_llava_variables_device
+
+    _, variables, _, _ = _init_pair(seed=11)
+    # inject a zero column to exercise the zero-scale guard
+    flat = tu.flatten_dict(variables)
+    k0 = _lm_kernel_keys(variables)[0]
+    w = np.asarray(flat[k0]).copy()
+    w[:, 0] = 0.0
+    flat[k0] = jnp.asarray(w)
+    variables = tu.unflatten_dict(flat)
+
+    host = quantize_llava_variables(variables, bits=8)
+    box = [variables]
+    dev = quantize_llava_variables_device(box, bits=8)
+    assert box == []                       # consumed
+    hflat = tu.flatten_dict(host)
+    dflat = tu.flatten_dict(dev)
+    assert set(hflat) == set(dflat)
+    n_off = n_codes = 0
+    for k in hflat:
+        a, b = np.asarray(hflat[k]), np.asarray(dflat[k])
+        if k[-1] == "kernel_scale":
+            np.testing.assert_allclose(a, b, rtol=1e-6, err_msg=str(k))
+            assert b[0] == 1.0 if k[:-1] == k0[:-1] else True
+        elif k[-1] == "kernel_q":
+            d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert d.max() <= 1, str(k)    # one code on .5 boundaries
+            n_off += int((d > 0).sum())
+            n_codes += d.size
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=str(k))
+    assert n_off <= max(2, n_codes // 500)  # rare boundary events only
+
+    import pytest
+    with pytest.raises(ValueError):
+        quantize_llava_variables_device([dev], bits=4)
+    with pytest.raises(ValueError):
+        quantize_llava_variables_device(dev)  # not boxed

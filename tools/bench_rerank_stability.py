@@ -179,9 +179,11 @@ def main():
         results.append(run_mode("bf16", model, variables, args.frames))
     if args.int8:
         from leafgrasp_tpu.vla.llava_jax import LlavaJax
-        from leafgrasp_tpu.vla.quant import quantize_llava_variables
-        qvars = quantize_llava_variables(variables, bits=8)
+        from leafgrasp_tpu.vla.quant import \
+            quantize_llava_variables_device
+        box = [variables]
         del variables
+        qvars = quantize_llava_variables_device(box, bits=8)
         qmodel = LlavaJax(dataclasses.replace(cfg, quantized=True))
         results.append(run_mode("int8", qmodel, qvars, args.frames))
     print(json.dumps(results, indent=2))

@@ -79,10 +79,11 @@ def main():
                              image_grid_pinpoints=V16_PINPOINTS)
     model, variables = build(cfg)
     if args.quantize == "int8":
-        from leafgrasp_tpu.vla.quant import quantize_llava_variables
-        qvars = quantize_llava_variables(variables, bits=8)
+        from leafgrasp_tpu.vla.quant import \
+            quantize_llava_variables_device
+        box = [variables]
         del variables
-        variables = qvars
+        variables = quantize_llava_variables_device(box, bits=8)
         model = LlavaJax(dataclasses.replace(cfg, quantized=True))
 
     scorer = LlavaJaxScorer(model, variables, _Tok(cfg.vocab_size),
