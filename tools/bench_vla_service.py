@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""End-to-end VLA-ENHANCED service on one chip: the reference VLA node.
+
+The reference's VLA node runs leaf selection -> candidate rerank ->
+grasp selection per live frame in one process
+(leaf_grasp_node_vla.py:97-146). The rebuild's halves were measured
+separately (frame ~13-18 ms, int8 rerank ~489 ms); this tool runs them
+as ONE GraspService on the real chip (VERDICT r2 item 4):
+
+* GraspService(hybrid_selector=HybridGraspSelector(VLAProcessor(
+  LlavaJaxScorer))) with randomized 7B-dims weights (zero egress;
+  throughput is weight-agnostic) at --quantize int8 (serving default,
+  PERF.md) or bf16;
+* frames enter through on_mask/on_depth/on_rgb + process_pending --
+  the full host path (framebus pair-matching, rate gate forced off);
+* measures combined frames/sec, the per-stage split (select_grasp /
+  vla_rerank / vla_reselect / finalize from the service StageTimer),
+  and HBM co-residency of the frame program beside the VLA weights;
+* degradation: after the measured frames, the scorer is broken
+  (raises) and more frames are processed -- the service must keep
+  publishing geometric results (leaf_grasp_node_vla.py:133-137).
+
+A fixed-length stub tokenizer keeps every prompt at one (B, T) shape so
+each program compiles once; its decode is an injective token->decimal
+hash so VLA scores vary across candidates and the confidence ladder is
+exercised (randomized weights cannot produce real decimals).
+
+Usage: python tools/bench_vla_service.py [--frames 10]
+           [--quantize int8|none] [--tiny] [--json]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+N_TEXT = 60
+
+
+class _FixedLenTok:
+    """Fixed encode length (one compiled (B, T) program) + injective
+    decode -> decimal (varied parsed scores from randomized weights)."""
+
+    def __init__(self, vocab: int):
+        self.vocab = vocab
+
+    def encode(self, text):
+        ids = [b % (self.vocab - 8) + 3 for b in text.encode("utf-8")]
+        ids = ids[:N_TEXT]
+        return [1] + ids + [2] * (N_TEXT - 1 - len(ids))
+
+    def decode(self, ids):
+        key = 0
+        for i in ids:
+            key = (key * 1000003 + int(i) + 1) % (10 ** 9)
+        return f"0.{key:09d}"
+
+
+def device_mem_gb():
+    try:
+        import jax
+        s = jax.devices()[0].memory_stats()
+        return round(s.get("bytes_in_use", 0) / 2 ** 30, 2)
+    except Exception:
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--quantize", choices=["none", "int8"],
+                    default="int8")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny dims smoke run (CPU-safe)")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+    import jax
+    from bench_vla import build
+    from leafgrasp_tpu.config import DEFAULT_CONFIG
+    from leafgrasp_tpu.io.scenes import make_leaf_scene
+    from leafgrasp_tpu.models.grasp_cnn import init_grasp_cnn
+    from leafgrasp_tpu.pipeline.ingest import GraspService
+    from leafgrasp_tpu.vla.hybrid import HybridGraspSelector
+    from leafgrasp_tpu.vla.llava_jax import LlavaJax, LlavaJaxConfig
+    from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
+    from leafgrasp_tpu.vla.processor import VLAProcessor
+
+    if args.tiny:
+        cfg_l = LlavaJaxConfig(
+            vis_hidden=16, vis_intermediate=32, vis_layers=1, vis_heads=2,
+            image_size=28, patch_size=14, vocab_size=128, hidden=16,
+            intermediate=32, layers=2, heads=2, kv_heads=1,
+            image_token_index=100, dtype="bfloat16")
+    else:
+        cfg_l = LlavaJaxConfig(dtype="bfloat16")   # full 7B dims
+
+    t0 = time.monotonic()
+    model, variables = build(cfg_l)
+    if args.quantize == "int8":
+        from leafgrasp_tpu.vla.quant import \
+            quantize_llava_variables_device
+        box = [variables]
+        del variables
+        variables = quantize_llava_variables_device(box, bits=8)
+        model = LlavaJax(dataclasses.replace(cfg_l, quantized=True))
+    scorer = LlavaJaxScorer(model, variables,
+                            _FixedLenTok(model.cfg.vocab_size),
+                            max_new_tokens=10, decode_mode="steps")
+    t_build = time.monotonic() - t0
+    mem_weights = device_mem_gb()
+
+    cfg = DEFAULT_CONFIG                      # enhanced union isolation
+    _, cnn_vars = init_grasp_cnn(jax.random.PRNGKey(0), cfg.model)
+    published = []
+    svc = GraspService(cfg, cnn_variables=cnn_vars,
+                       hybrid_selector=HybridGraspSelector(
+                           VLAProcessor(scorer)),
+                       publish=published.append,
+                       min_interval_s=0.0)    # measure, don't rate-gate
+
+    # mixed families (bench.py): leaf count + area drive the adaptive
+    # EDT band and the window ladder
+    fams = [(6, 8, 120), (12, 3, 60), (3, 5, 260)]
+    scenes = [make_leaf_scene(cfg.frame.height, cfg.frame.width,
+                              num_leaves=n, seed=s, margin=m)
+              for n, s, m in fams]
+    rgb = (np.random.default_rng(0)
+           .uniform(0, 255, (cfg.frame.height, cfg.frame.width, 3))
+           .astype(np.uint8))
+    svc.on_rgb(rgb)
+
+    def feed(i):
+        mask, depth = scenes[i % len(scenes)]
+        svc.on_mask(np.roll(mask, 3 * i, axis=1), stamp_us=i)
+        svc.on_depth(np.roll(depth, 3 * i, axis=1), stamp_us=i)
+
+    # warmup: compile frame program + tower + prefill + decode steps
+    feed(0)
+    out = svc.process_pending(force=True)
+    assert out is not None and out["found"], "warmup frame failed"
+    print(f"warmup ok in {time.monotonic() - t0:.0f}s "
+          f"(build {t_build:.0f}s); vla={out['vla'] is not None}",
+          flush=True)
+    from leafgrasp_tpu.utils.profiler import StageTimer
+    svc.timer = StageTimer()                  # drop warmup from stages
+
+    t0 = time.monotonic()
+    n_vla = 0
+    for i in range(1, args.frames + 1):
+        feed(i)
+        out = svc.process_pending(force=True)
+        assert out is not None and out["found"]
+        n_vla += out["vla"] is not None
+    wall = time.monotonic() - t0
+    mem_peak = device_mem_gb()
+    stages = {k: dict(mean_ms=round(v["mean_ms"], 1),
+                      count=v["count"])
+              for k, v in svc.timer.summary().items()}
+
+    # degradation 1 (inner, llava_processor.py:35-36): the backend
+    # raises -> VLAProcessor returns uniform 0.5 scores -> a choice
+    # still comes back, strategy GEOMETRIC_ONLY at the low confidence
+    class _Boom:
+        def score(self, *a, **k):
+            raise RuntimeError("backend failure injection")
+    svc.hybrid_selector.processor.backend = _Boom()
+    feed(args.frames + 1)
+    out1 = svc.process_pending(force=True)
+    inner_ok = bool(out1 is not None and out1["found"]
+                    and out1["vla"] is not None)
+    inner_strategy = out1["vla"]["strategy"] if inner_ok else None
+
+    # degradation 2 (outer, leaf_grasp_node_vla.py:133-137): the whole
+    # selector raises (e.g. device OOM) -> GraspService catches and the
+    # geometric result publishes with vla=None
+    class _Raiser:
+        def select_grasp_point(self, *a, **k):
+            raise RuntimeError("selector failure injection (OOM)")
+    svc.hybrid_selector = _Raiser()
+    feed(args.frames + 2)
+    out2 = svc.process_pending(force=True)
+    degraded_ok = bool(out2 is not None and out2["found"]
+                       and out2["message"] and out2["vla"] is None)
+
+    rec = dict(
+        metric="vla_enhanced_service_frames_per_sec",
+        frames=args.frames, value=round(args.frames / wall, 3),
+        ms_per_frame=round(wall / args.frames * 1e3, 1),
+        vla_reranked_frames=n_vla,
+        quantize=args.quantize, dims="tiny" if args.tiny else "7B",
+        stages=stages, published=len(published),
+        hbm_gb_after_weights=mem_weights, hbm_gb_peak_seen=mem_peak,
+        inner_degradation_uniform_scores_ok=inner_ok,
+        inner_degradation_strategy=inner_strategy,
+        degraded_geometric_fallback_ok=degraded_ok)
+    print(json.dumps(rec, indent=None if args.json else 2))
+
+
+if __name__ == "__main__":
+    main()

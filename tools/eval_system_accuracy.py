@@ -39,6 +39,23 @@ def main():
     ap.add_argument("--scenes", type=int, default=30)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1440)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint dir (default artifacts/grasp_cnn/"
+                    "best_model); e.g. the hard-corpus model")
+    ap.add_argument("--hard", action="store_true",
+                    help="evaluate on make_hard_leaf_scene scenes "
+                    "(clustered lobed overlapping leaves) -- the "
+                    "regime where a hard-corpus CNN runs at mid-range "
+                    "confidence and the fusion's ml_weight > 0")
+    ap.add_argument("--out", default=None,
+                    help="output json (default artifacts/"
+                    "system_accuracy.json)")
+    ap.add_argument("--attention", default="spatial",
+                    choices=["spatial", "channel", "hybrid", "none"],
+                    help="checkpoint's attention type")
+    ap.add_argument("--arch", default="standard",
+                    choices=["lightweight", "standard", "deep", "wide"],
+                    help="checkpoint's encoder architecture")
     args = ap.parse_args()
 
     import jax
@@ -50,22 +67,29 @@ def main():
     from leafgrasp_tpu.training.teacher import teacher_select
     from leafgrasp_tpu.training.checkpoint import load_checkpoint
 
+    from leafgrasp_tpu.config import ModelConfig
+    from leafgrasp_tpu.models.grasp_cnn import ARCHITECTURES
+
     h, w = args.height, args.width
     area = 10000 if h >= 1080 else 1500
     cfg = PipelineConfig(frame=FrameConfig(height=h, width=w,
                                            max_leaves=8),
-                         leaf=LeafSelectionConfig(min_leaf_area=area))
+                         leaf=LeafSelectionConfig(min_leaf_area=area),
+                         model=ModelConfig(
+                             attention_type=args.attention,
+                             encoder_filters=ARCHITECTURES[args.arch]))
     cx, cy, f = (np.float32(707.87), np.float32(494.07),
                  np.float32(1750.68))
 
     # the shipped trained checkpoint if present, else a fresh init
-    ckpt_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "artifacts", "grasp_cnn")
+    ckpt = args.ckpt or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "grasp_cnn",
+        "best_model")
     try:
-        restored = load_checkpoint(os.path.join(ckpt_dir, "best_model"))
+        restored = load_checkpoint(ckpt)
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
-        src = "artifacts/grasp_cnn/best_model"
+        src = ckpt
     except Exception as e:
         print(f"checkpoint load failed ({type(e).__name__}); random init",
               flush=True)
@@ -76,11 +100,14 @@ def main():
     cv_fn = make_frame_fn(cfg, with_cnn=False)
     ml_fn = make_frame_fn(cfg, with_cnn=True)
 
+    from leafgrasp_tpu.io.scenes import make_hard_leaf_scene
+    scene_fn = make_hard_leaf_scene if args.hard else make_leaf_scene
+
     rows = []
     for seed in range(args.scenes):
         n_leaves = (4, 6, 8)[seed % 3]
-        mask, depth = make_leaf_scene(h, w, num_leaves=n_leaves,
-                                      seed=100 + seed, margin=120)
+        mask, depth = scene_fn(h, w, num_leaves=n_leaves,
+                               seed=100 + seed, margin=120)
         r_cv = cv_fn(mask, depth, cx, cy, f)
         r_ml = ml_fn(mask, depth, cx, cy, f, cnn_variables=variables)
         if bool(r_cv.degenerate) or bool(r_ml.degenerate):
@@ -118,7 +145,9 @@ def main():
     summary = {
         "scenes": len(rows),
         "frame": [h, w],
+        "hard_scenes": args.hard,
         "cnn_source": src,
+        "cnn_config": {"attention": args.attention, "arch": args.arch},
         "leaf_agreement": round(len(agree) / max(len(rows), 1), 4),
         "px_shift_mean": round(float(np.mean(shifts)), 2) if shifts else None,
         "px_shift_max": round(float(np.max(shifts)), 2) if shifts else None,
@@ -130,7 +159,7 @@ def main():
                     "annotations; rows above are the synthetic analogue"},
         "rows": rows,
     }
-    out = os.path.join(os.path.dirname(os.path.dirname(
+    out = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "system_accuracy.json")
     with open(out, "w") as fjson:
         json.dump(summary, fjson, indent=2)
