@@ -28,6 +28,51 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Fast/slow split (VERDICT r2 item 8): tests measured >~15 s warm-cache
+# on this one-core box are auto-marked `slow` so `-m "not slow"` stays a
+# pre-commit habit (~5 min) while the full suite remains the CI gate.
+# Keyed by (file basename, test function name) — parametrized families
+# are marked as a whole via the original function name.
+_SLOW = {
+    ("test_aux_components.py", "test_vla_sweep_two_experiments"),
+    ("test_aux_components.py", "test_teacher_select_in_safe_zone"),
+    ("test_aux_components.py", "test_collect_from_framelog_session"),
+    ("test_aux_components.py", "test_collect_from_frames"),
+    ("test_aux_components.py", "test_grasp_quality_predictor"),
+    ("test_checkpoint_io.py", "test_serve_llava_cli_end_to_end"),
+    ("test_checkpoint_io.py", "test_load_checkpoint_quantized_qlora"),
+    ("test_geometry.py", "test_union_half_isolation_close_to_full"),
+    ("test_geometry.py", "test_pipeline_cloud_cross_check"),
+    ("test_geometry.py", "test_fuzz_pipeline_vs_oracle"),
+    ("test_geometry.py", "test_grasp_scores_match_oracle"),
+    ("test_host_shell.py", "test_grasp_service_spatial_mesh"),
+    ("test_host_shell.py", "test_visualizer_renders_and_saves"),
+    ("test_host_shell.py", "test_grasp_service_vla_rerank"),
+    ("test_host_shell.py", "test_grasp_service_end_to_end"),
+    ("test_lifecycle.py", "test_full_self_supervised_lifecycle"),
+    ("test_llava_jax.py", "test_scorer_anyres_matches_sequential_next_path"),
+    ("test_model_pipeline.py", "test_pipeline_with_cnn_end_to_end"),
+    ("test_model_pipeline.py", "test_architecture_param_counts_ordering"),
+    ("test_model_pipeline.py", "test_pipeline_cv_only_end_to_end"),
+    ("test_model_pipeline.py", "test_cnn_train_mode_mutates_batch_stats"),
+    ("test_ops_edt.py", "test_scorer_band_flag_is_bit_exact"),
+    ("test_ops_misc.py", "test_min_area_rect_matches_cv2"),
+    ("test_ops_misc.py", "test_largest_component_labeling_adversarial"),
+    ("test_ops_misc.py", "test_min_area_rect_empty_and_full"),
+    ("test_pallas.py", "test_fused_scoring_matches_oracle"),
+    ("test_pallas.py", "test_fused_scoring_empty_leaf_orientation_fallback"),
+    ("test_pallas.py", "test_model_pallas_attention_flag_same_params"),
+    ("test_pallas.py", "test_leaf_stats_pallas_median_parity"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        key = (item.fspath.basename,
+               getattr(item, "originalname", None) or item.name)
+        if key in _SLOW:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def small_scene():
