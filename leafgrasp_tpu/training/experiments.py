@@ -106,8 +106,21 @@ class ExperimentTracker:
             return [json.loads(line) for line in f if line.strip()]
 
     def top_k(self, k: int = 10, metric: str = "f1_score") -> List[Dict]:
+        """Rank by the headline metric; break exact F1 ties (identical
+        confusion matrices are common on a ~250-sample val split) by the
+        threshold-calibrated F1, then by best val loss (lower = better),
+        so the ranking is a strict total order wherever the underlying
+        runs differ at all."""
         runs = self.runs()
-        runs.sort(key=lambda r: r["final"].get(metric, -1), reverse=True)
+
+        def _key(r):
+            final = r["final"]
+            cal = final.get("calibrated") or {}
+            return (final.get(metric, -1),
+                    cal.get(metric, final.get(metric, -1)),
+                    -final.get("best_val_loss", float("inf")))
+
+        runs.sort(key=_key, reverse=True)
         return runs[:k]
 
     def write_summary(self, k: int = 10) -> str:

@@ -63,6 +63,19 @@ _SLOW = {
     ("test_pallas.py", "test_fused_scoring_empty_leaf_orientation_fallback"),
     ("test_pallas.py", "test_model_pallas_attention_flag_same_params"),
     ("test_pallas.py", "test_leaf_stats_pallas_median_parity"),
+    ("test_parallel.py", "test_sharded_frame_production_scale_matches_unsharded"),
+    ("test_parallel.py", "test_batched_frame_fn_dp"),
+    ("test_parallel.py", "test_sharded_frame_cnn_matches_unsharded"),
+    ("test_parallel.py", "test_sharded_orientation_fragmented_leaf"),
+    ("test_parallel.py", "test_pp_llava_grad_matches_plain"),
+    ("test_parallel.py", "test_pp_llava_forward_matches_plain"),
+    ("test_parallel.py", "test_sharded_frame_pallas_scoring_matches_oracle"),
+    ("test_parallel.py", "test_param_shardings_rules"),
+    ("test_parallel.py", "test_sharded_frame_cv_only_matches_unsharded"),
+    ("test_quant.py", "test_int4_packed_storage_matches_native"),
+    ("test_training.py", "test_trainer_learns_separable_toy"),
+    ("test_training.py", "test_sweep_runs_and_ranks"),
+    ("test_training.py", "test_trainer_data_parallel_matches_shapes"),
 }
 
 

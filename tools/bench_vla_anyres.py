@@ -78,6 +78,13 @@ def main():
         cfg = LlavaJaxConfig(dtype="bfloat16",
                              image_grid_pinpoints=V16_PINPOINTS)
     model, variables = build(cfg)
+    # build() randomizes the init shape-tree, which has no anyres tile
+    # separator; real v1.6 safetensors carry it (checkpoint_io does too).
+    import jax
+    variables["params"]["image_newline"] = np.asarray(
+        0.02 * jax.random.normal(jax.random.PRNGKey(7), (cfg.hidden,)),
+        np.float32).astype(
+            variables["params"]["embed_tokens"]["embedding"].dtype)
     if args.quantize == "int8":
         from leafgrasp_tpu.vla.quant import \
             quantize_llava_variables_device
