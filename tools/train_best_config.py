@@ -47,8 +47,7 @@ def main():
     from leafgrasp_tpu.training.verify_data import verify_dataset
 
     data = np.load(args.data)
-    ds = {k: data[k] for k in ("depth_patches", "mask_patches",
-                               "score_patches", "labels")}
+    ds = {k: data[k] for k in data.files}
     report = verify_dataset(ds)
     assert report["ok"], report["problems"]
     print(f"dataset: {report['num_samples']} samples "
