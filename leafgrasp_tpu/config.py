@@ -156,6 +156,15 @@ class MLFusionConfig:
     ml_weight_cap: float = 0.3
     ml_conf_scale: float = 0.6
     score_spread_scale: float = 3.0     # tanh(score*3)*0.5+0.5
+    # "reference_minmax": the faithful serving path -- per-patch
+    # min-max (grasp_point_selector.py:84-121), which MISMATCHES the
+    # z-score normalization the CNN was trained under
+    # (train_model.py:41-62) and leaves it out-of-distribution at
+    # inference (the reference's own train/serve bug; see
+    # geometry/patches.py).  "train_stats": corrected mode -- the
+    # checkpoint's stored NormStats applied at serve time
+    # (make_frame_fn(norm_stats=...)).
+    patch_normalization: str = "reference_minmax"
 
 
 @dataclasses.dataclass(frozen=True)

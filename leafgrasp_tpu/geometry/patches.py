@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from leafgrasp_tpu.geometry.grasp_scorer import GraspScores
 
 __all__ = ["extract_patches", "assemble_cnn_inputs",
-           "normalize_patch_batch"]
+           "normalize_patch_batch", "normalize_patch_batch_train_stats"]
 
 
 def _minmax(patch: jnp.ndarray) -> jnp.ndarray:
@@ -71,14 +71,52 @@ def normalize_patch_batch(patches: jnp.ndarray) -> jnp.ndarray:
     return normed.transpose(0, 2, 3, 1)                     # NHWC
 
 
+def normalize_patch_batch_train_stats(patches: jnp.ndarray,
+                                      norm_stats) -> jnp.ndarray:
+    """(K, 9, P, P) raw patches -> NHWC z-scored with TRAINING stats.
+
+    The reference trains its CNN on globally z-scored patches
+    (train_model.py:41-62) but serves it per-patch MIN-MAXED inputs
+    (grasp_point_selector.py:84-121): a train/serve normalization
+    mismatch that leaves the production CNN out-of-distribution at
+    inference -- measured here, the served sigmoids collapse to < 0.2
+    on every candidate, so the fusion's ``combined > best_score`` gate
+    (grasp_point_selector.py:232-237) can never fire and the hybrid
+    degenerates to the classical choice.  ``normalize_patch_batch``
+    transcribes that faithful serving path; THIS variant is the
+    corrected mode: the checkpoint's stored ``NormStats``
+    (training/checkpoint.py) applied at serve time exactly as during
+    training -- scalar depth z-score + per-channel score z-score, mask
+    raw.  Selected via ``MLFusionConfig.patch_normalization``.
+    """
+    depth_n = (patches[:, 0] - norm_stats["depth_mean"]) \
+        / norm_stats["depth_std"]
+    mask_raw = patches[:, 1]
+    sm = jnp.reshape(norm_stats["score_mean"], (1, 7, 1, 1))
+    ss = jnp.reshape(norm_stats["score_std"], (1, 7, 1, 1))
+    score_n = (patches[:, 2:] - sm) / ss
+    normed = jnp.concatenate([depth_n[:, None], mask_raw[:, None],
+                              score_n], axis=1)             # (K, 9, P, P)
+    return normed.transpose(0, 2, 3, 1)                     # NHWC
+
+
 def assemble_cnn_inputs(depth: jnp.ndarray, leaf_mask: jnp.ndarray,
                         scores: GraspScores, xs: jnp.ndarray,
-                        ys: jnp.ndarray, patch_size: int = 32) -> jnp.ndarray:
-    """(K, P, P, 9) NHWC feature batch for GraspPointCNN."""
+                        ys: jnp.ndarray, patch_size: int = 32,
+                        norm_stats=None) -> jnp.ndarray:
+    """(K, P, P, 9) NHWC feature batch for GraspPointCNN.
+
+    ``norm_stats`` None -> the reference-faithful per-patch min-max
+    serving normalization; a stats dict (depth_mean/depth_std/
+    score_mean/score_std, as stored by checkpoint.py) -> the corrected
+    train-consistent z-score (see normalize_patch_batch_train_stats).
+    """
     stack = jnp.concatenate([
         depth[None].astype(jnp.float32),
         jnp.asarray(leaf_mask, jnp.float32)[None],
         scores.stacked_channels(),
     ], axis=0)                                              # (9, H, W)
     patches = extract_patches(stack, xs, ys, patch_size)    # (K, 9, P, P)
+    if norm_stats is not None:
+        return normalize_patch_batch_train_stats(patches, norm_stats)
     return normalize_patch_batch(patches)

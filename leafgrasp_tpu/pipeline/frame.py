@@ -54,7 +54,7 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
                  cnn_variables=None, cnn_apply=None,
                  cfg: PipelineConfig = DEFAULT_CONFIG,
                  use_pallas: bool = False,
-                 points=None) -> FrameResult:
+                 points=None, cnn_norm_stats=None) -> FrameResult:
     """Full grasp selection for one frame.
 
     cnn_apply : optional static callable (variables, feats) -> logits.
@@ -64,6 +64,9 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
     points : optional (H, W, 3) organized point cloud; when given the
         3D grasp is cross-checked against it at the reference's 1 cm
         threshold (grasp_point_selector.py:163-180).
+    cnn_norm_stats : optional stats dict -> corrected train-consistent
+        patch normalization (geometry/patches.py); None -> the
+        reference-faithful per-patch min-max.
     """
     mask_ids = jnp.asarray(mask_ids, jnp.int32)
     depth = jnp.asarray(depth, jnp.float32)
@@ -86,7 +89,8 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
 
     if cnn_apply is not None:
         feats = assemble_cnn_inputs(depth, leaf, scores, cand.x, cand.y,
-                                    cfg.fusion.patch_size)
+                                    cfg.fusion.patch_size,
+                                    norm_stats=cnn_norm_stats)
         logits = cnn_apply(cnn_variables, feats)
         ml = ml_scores_from_logits(logits, cfg.fusion.score_spread_scale)
         fusion = fuse_candidates(cand.score, ml, cand.accepted, True,
@@ -126,16 +130,29 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
 
 def make_frame_fn(cfg: PipelineConfig = DEFAULT_CONFIG,
                   with_cnn: bool = False,
-                  use_pallas: bool | None = None):
+                  use_pallas: bool | None = None,
+                  norm_stats=None):
     """Build a jit-ready frame function (and CNN apply fn if requested).
 
     Returns ``fn(mask, depth, cx, cy, f[, cnn_variables])`` closing over
     the static config, suitable for compile-once serving.
     ``use_pallas=None`` routes the fused scoring kernel on TPU backends
     and the oracle composition elsewhere.
+    ``norm_stats`` (required iff cfg.fusion.patch_normalization ==
+    "train_stats"): the checkpoint's stored stats dict, closed over as
+    program constants -- the corrected train-consistent serving
+    normalization (geometry/patches.py).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
+
+    corrected = cfg.fusion.patch_normalization == "train_stats"
+    if corrected and with_cnn and norm_stats is None:
+        raise ValueError(
+            "patch_normalization='train_stats' needs the checkpoint's "
+            "norm_stats (load_checkpoint(...)['norm_stats'])")
+    if not corrected:
+        norm_stats = None
 
     if not with_cnn:
         def fn(mask_ids, depth, cx, cy, f):
@@ -148,9 +165,14 @@ def make_frame_fn(cfg: PipelineConfig = DEFAULT_CONFIG,
     def cnn_apply(variables, feats):
         return model.apply(variables, feats, train=False)
 
+    stats_const = None if norm_stats is None else {
+        k: jnp.asarray(norm_stats[k], jnp.float32)
+        for k in ("depth_mean", "depth_std", "score_mean", "score_std")}
+
     def fn(mask_ids, depth, cx, cy, f, cnn_variables):
         return select_grasp(mask_ids, depth, cx, cy, f,
                             cnn_variables=cnn_variables,
                             cnn_apply=cnn_apply, cfg=cfg,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            cnn_norm_stats=stats_const)
     return fn

@@ -131,7 +131,8 @@ class GraspService:
                  prefer_native_bus: bool = True,
                  spatial_mesh=None,
                  pipeline_depth: int = 0,
-                 record_path: Optional[str] = None):
+                 record_path: Optional[str] = None,
+                 cnn_norm_stats=None):
         if pipeline_depth and hybrid_selector is not None:
             raise ValueError("pipeline_depth requires hybrid_selector="
                              "None (VLA re-rank is synchronous)")
@@ -156,13 +157,24 @@ class GraspService:
         if spatial_mesh is not None:
             # row-shard each frame over the mesh's data axis (single-
             # frame latency scales with chips; parallel/spatial_frame.py)
+            if (cnn_variables is not None
+                    and cfg.fusion.patch_normalization == "train_stats"):
+                raise ValueError(
+                    "patch_normalization='train_stats' is not plumbed "
+                    "through the row-sharded path; use the single-chip "
+                    "frame fn or patch_normalization='reference_minmax'")
             from leafgrasp_tpu.parallel.spatial_frame import \
                 make_sharded_frame_fn
             self._fn = make_sharded_frame_fn(
                 spatial_mesh, cfg, with_cnn=cnn_variables is not None)
         else:
+            # cnn_norm_stats: the checkpoint's stored stats dict for the
+            # corrected train-consistent serving normalization
+            # (cfg.fusion.patch_normalization == 'train_stats'; see
+            # geometry/patches.py)
             self._fn = make_frame_fn(cfg,
-                                     with_cnn=cnn_variables is not None)
+                                     with_cnn=cnn_variables is not None,
+                                     norm_stats=cnn_norm_stats)
         self._last_processed = 0.0
         self._latest_rgb = None
         self._frames = 0

@@ -223,6 +223,38 @@ def test_assemble_cnn_inputs_channels(small_scene):
     assert set(np.unique(feats[:, :, :, 1])) <= {0.0, 1.0}
 
 
+def test_assemble_cnn_inputs_train_stats(small_scene):
+    """Corrected serving normalization: the checkpoint's TRAINING
+    z-score stats applied at inference (the reference min-maxes at
+    serve time, a train/serve mismatch; geometry/patches.py)."""
+    mask, depth = small_scene
+    leaf = mask == 1
+    scores = compute_grasp_scores(leaf, mask > 0, depth, CX, CY, F)
+    xs = np.array([100, 200], np.int32)
+    ys = np.array([100, 150], np.int32)
+    stats = {"depth_mean": np.float32(0.45), "depth_std": np.float32(0.1),
+             "score_mean": np.linspace(0.2, 0.8, 7).astype(np.float32),
+             "score_std": np.full(7, 0.25, np.float32)}
+    z = np.asarray(assemble_cnn_inputs(depth, leaf, scores, xs, ys,
+                                       norm_stats=stats))
+    mm = np.asarray(assemble_cnn_inputs(depth, leaf, scores, xs, ys))
+    assert z.shape == mm.shape == (2, 32, 32, 9)
+    # mask channel is raw in both modes
+    np.testing.assert_array_equal(z[..., 1], mm[..., 1])
+    # depth + score channels are the exact z-scores of the raw patches
+    stack = np.concatenate([depth[None].astype(np.float32),
+                            leaf[None].astype(np.float32),
+                            np.asarray(scores.stacked_channels())], axis=0)
+    raw = np.asarray(extract_patches(stack, xs, ys, 32))    # (2, 9, P, P)
+    np.testing.assert_allclose(z[..., 0], (raw[:, 0] - 0.45) / 0.1,
+                               rtol=0, atol=1e-5)
+    for c in range(7):
+        np.testing.assert_allclose(
+            z[..., 2 + c],
+            (raw[:, 2 + c] - stats["score_mean"][c]) / 0.25,
+            rtol=0, atol=1e-5)
+
+
 def test_simple_scorer_v2_legacy():
     from leafgrasp_tpu.geometry.simple_scorer import select_leaf_simple
     mask, depth = _scene(3)

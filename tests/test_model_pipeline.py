@@ -144,6 +144,34 @@ def test_pipeline_with_cnn_end_to_end():
         assert float(res.fusion.best_score) > float(res.candidates.score[0])
 
 
+def test_pipeline_train_stats_normalization():
+    """patch_normalization='train_stats' serves the CNN the same
+    z-scored inputs it trained on (the corrected mode; the reference's
+    own serving min-max is a train/serve mismatch)."""
+    from leafgrasp_tpu.config import MLFusionConfig
+    mask, depth = _scene()
+    mc = ModelConfig(encoder_filters=(8, 16))
+    model, variables = init_grasp_cnn(jax.random.PRNGKey(0), mc)
+    cfg = CFG.replace(model=mc, fusion=MLFusionConfig(
+        patch_normalization="train_stats"))
+    stats = {"depth_mean": 0.45, "depth_std": 0.1,
+             "score_mean": np.zeros(7, np.float32),
+             "score_std": np.ones(7, np.float32)}
+    fn = make_frame_fn(cfg, with_cnn=True, norm_stats=stats)
+    res = fn(mask, depth, CX, CY, F, variables)
+    assert bool(res.found)
+    u, v = np.asarray(res.grasp_uv)
+    assert mask[v, u] == int(res.leaf_id)
+    # the two normalizations feed the CNN different features
+    base = make_frame_fn(CFG.replace(model=mc), with_cnn=True)(
+        mask, depth, CX, CY, F, variables)
+    assert not np.allclose(np.asarray(res.fusion.combined),
+                           np.asarray(base.fusion.combined))
+    # guard: train_stats without the checkpoint stats is an error
+    with pytest.raises(ValueError):
+        make_frame_fn(cfg, with_cnn=True)
+
+
 def test_pipeline_empty_frame():
     mask = np.zeros((270, 360), np.int16)
     depth = np.full((270, 360), 0.6, np.float32)

@@ -56,6 +56,14 @@ def main():
     ap.add_argument("--arch", default="standard",
                     choices=["lightweight", "standard", "deep", "wide"],
                     help="checkpoint's encoder architecture")
+    ap.add_argument("--norm", default="reference_minmax",
+                    choices=["reference_minmax", "train_stats"],
+                    help="serving patch normalization: the faithful "
+                    "per-patch min-max (which MISMATCHES training and "
+                    "leaves the CNN out-of-distribution, the "
+                    "reference's own train/serve bug) or the corrected "
+                    "train-consistent z-score from the checkpoint's "
+                    "stored stats (geometry/patches.py)")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +75,7 @@ def main():
     from leafgrasp_tpu.training.teacher import teacher_select
     from leafgrasp_tpu.training.checkpoint import load_checkpoint
 
-    from leafgrasp_tpu.config import ModelConfig
+    from leafgrasp_tpu.config import ModelConfig, MLFusionConfig
     from leafgrasp_tpu.models.grasp_cnn import ARCHITECTURES
 
     h, w = args.height, args.width
@@ -77,7 +85,9 @@ def main():
                          leaf=LeafSelectionConfig(min_leaf_area=area),
                          model=ModelConfig(
                              attention_type=args.attention,
-                             encoder_filters=ARCHITECTURES[args.arch]))
+                             encoder_filters=ARCHITECTURES[args.arch]),
+                         fusion=MLFusionConfig(
+                             patch_normalization=args.norm))
     cx, cy, f = (np.float32(707.87), np.float32(494.07),
                  np.float32(1750.68))
 
@@ -85,20 +95,25 @@ def main():
     ckpt = args.ckpt or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "grasp_cnn",
         "best_model")
+    norm_stats = None
     try:
         restored = load_checkpoint(ckpt)
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
+        norm_stats = restored.get("norm_stats")
         src = ckpt
     except Exception as e:
         print(f"checkpoint load failed ({type(e).__name__}); random init",
               flush=True)
         _, variables = init_grasp_cnn(jax.random.PRNGKey(0), cfg.model)
         src = "random-init"
+    if args.norm == "train_stats" and norm_stats is None:
+        sys.exit("--norm train_stats needs a checkpoint that stores "
+                 "norm_stats (training/checkpoint.py)")
     variables = jax.device_put(variables)
 
     cv_fn = make_frame_fn(cfg, with_cnn=False)
-    ml_fn = make_frame_fn(cfg, with_cnn=True)
+    ml_fn = make_frame_fn(cfg, with_cnn=True, norm_stats=norm_stats)
 
     from leafgrasp_tpu.io.scenes import make_hard_leaf_scene
     scene_fn = make_hard_leaf_scene if args.hard else make_leaf_scene
@@ -148,6 +163,7 @@ def main():
         "hard_scenes": args.hard,
         "cnn_source": src,
         "cnn_config": {"attention": args.attention, "arch": args.arch},
+        "patch_normalization": args.norm,
         "leaf_agreement": round(len(agree) / max(len(rows), 1), 4),
         "px_shift_mean": round(float(np.mean(shifts)), 2) if shifts else None,
         "px_shift_max": round(float(np.max(shifts)), 2) if shifts else None,
