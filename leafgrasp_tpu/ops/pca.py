@@ -1,15 +1,19 @@
-"""PCA-based leaf orientation estimation, in pure JAX.
+"""Leaf orientation estimation, in pure JAX: exact minAreaRect + PCA.
 
 Replaces ``cv2.findContours`` + ``cv2.minAreaRect``
 (reference grasp_point_selector.py:718-752) and ``cv2.fitEllipse``
-(leaf_grasp_node_2.py:158-265).  Instead of contour geometry -- which is
-sequential and shape-dynamic -- we use the mask's second image moments:
-for the elongated, convex-ish leaf blobs both estimators agree on the
-major-axis direction, and the downstream consumer only uses the axis
-*direction* (|cross| alignment term, grasp_point_selector.py:556-558),
-for which PCA is the natural TPU-native formulation.  Documented
-divergence: exact angle can differ from minAreaRect by a few degrees on
-non-elliptical blobs.
+(leaf_grasp_node_2.py:158-265).  Two estimators:
+
+* ``min_area_rect`` -- the DEFAULT (``orientation_source=
+  "min_area_rect"``, config.py): exact cv2.minAreaRect parity computed
+  on-device (largest connected component -> convex hull -> rotating
+  calipers), bit-matched against cv2 in tests/test_ops_misc.py.
+* ``mask_orientation`` -- the faster moment-PCA alternate
+  (``orientation_source="pca"``): for elongated convex-ish leaf blobs
+  both agree on the major-axis direction (the only quantity the
+  |cross| alignment term consumes, grasp_point_selector.py:556-558),
+  but the exact angle can differ by a few degrees on non-elliptical
+  blobs, so it is opt-in, not the parity path.
 """
 
 from __future__ import annotations
