@@ -89,11 +89,15 @@ def normalize_patch_batch_train_stats(patches: jnp.ndarray,
     training -- scalar depth z-score + per-channel score z-score, mask
     raw.  Selected via ``MLFusionConfig.patch_normalization``.
     """
+    # a degenerate corpus (constant depth or a constant score channel)
+    # stores std=0; clamp like the min-max path guards max>min
+    eps = jnp.float32(1e-6)
     depth_n = (patches[:, 0] - norm_stats["depth_mean"]) \
-        / norm_stats["depth_std"]
+        / jnp.maximum(norm_stats["depth_std"], eps)
     mask_raw = patches[:, 1]
     sm = jnp.reshape(norm_stats["score_mean"], (1, 7, 1, 1))
-    ss = jnp.reshape(norm_stats["score_std"], (1, 7, 1, 1))
+    ss = jnp.maximum(jnp.reshape(norm_stats["score_std"], (1, 7, 1, 1)),
+                     eps)
     score_n = (patches[:, 2:] - sm) / ss
     normed = jnp.concatenate([depth_n[:, None], mask_raw[:, None],
                               score_n], axis=1)             # (K, 9, P, P)

@@ -242,6 +242,14 @@ def make_sharded_frame_fn(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
+    if with_cnn and cfg.fusion.patch_normalization == "train_stats":
+        # the sharded CNN path hard-codes the reference per-patch
+        # min-max; silently serving it under a train_stats config would
+        # reintroduce the train/serve mismatch the mode exists to fix
+        raise NotImplementedError(
+            "patch_normalization='train_stats' is not plumbed through "
+            "the row-sharded frame fn; use the single-device frame fn "
+            "or patch_normalization='reference_minmax'")
     n_shards = mesh.shape[axis]
     h, w = cfg.frame.height, cfg.frame.width
     if h % n_shards:

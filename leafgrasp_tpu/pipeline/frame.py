@@ -66,7 +66,11 @@ def select_grasp(mask_ids: jnp.ndarray, depth: jnp.ndarray,
         threshold (grasp_point_selector.py:163-180).
     cnn_norm_stats : optional stats dict -> corrected train-consistent
         patch normalization (geometry/patches.py); None -> the
-        reference-faithful per-patch min-max.
+        reference-faithful per-patch min-max.  NOTE: this argument, not
+        ``cfg.fusion.patch_normalization``, decides the normalization
+        for direct calls -- the config field is enforced one level up
+        (``make_frame_fn`` requires/nulls stats to match it); passing
+        stats here with a 'reference_minmax' config serves train_stats.
     """
     mask_ids = jnp.asarray(mask_ids, jnp.int32)
     depth = jnp.asarray(depth, jnp.float32)
@@ -146,6 +150,12 @@ def make_frame_fn(cfg: PipelineConfig = DEFAULT_CONFIG,
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
 
+    if cfg.fusion.patch_normalization not in ("reference_minmax",
+                                               "train_stats"):
+        raise ValueError(
+            f"unknown patch_normalization "
+            f"{cfg.fusion.patch_normalization!r}; expected "
+            f"'reference_minmax' or 'train_stats'")
     corrected = cfg.fusion.patch_normalization == "train_stats"
     if corrected and with_cnn and norm_stats is None:
         raise ValueError(
