@@ -379,7 +379,9 @@ class SentencePieceTokenizer:
     def encode(self, text: str, add_bos: bool = False,
                add_eos: bool = False) -> List[int]:
         t = text
-        if self.add_dummy_prefix and not t.startswith(" "):
+        # sentencepiece treats the empty sentence as trivially empty --
+        # no dummy prefix (cross-validated against HF fast tokenizers)
+        if t and self.add_dummy_prefix and not t.startswith(" "):
             t = " " + t
         t = t.replace(" ", _SPACE)
         ids = (self._tokenize_bpe(t) if self.model_type == 2

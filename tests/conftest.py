@@ -41,6 +41,9 @@ _SLOW = {
     ("test_aux_components.py", "test_grasp_quality_predictor"),
     ("test_checkpoint_io.py", "test_serve_llava_cli_end_to_end"),
     ("test_checkpoint_io.py", "test_load_checkpoint_quantized_qlora"),
+    ("test_checkpoint_io.py",
+     "test_real_dims_sharded_quantized_load_and_serve"),
+    ("test_host_shell.py", "test_grasp_service_pipelined_vla_rerank"),
     ("test_geometry.py", "test_union_half_isolation_close_to_full"),
     ("test_geometry.py", "test_pipeline_cloud_cross_check"),
     ("test_geometry.py", "test_fuzz_pipeline_vs_oracle"),

@@ -112,6 +112,110 @@ def test_sentencepiece_unigram_viterbi(tmp_path):
     assert tok.decode(ids) == "abca"
 
 
+def _fuzz_spm_pieces(rng, alpha, byte_fallback, n_pieces=40):
+    """Random piece inventory with distinct scores (ties are the only
+    place the two BPE agenda orders can legitimately diverge)."""
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              ("▁", -4.0, 1)]
+    if byte_fallback:
+        pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(256)]
+    pieces += [(c, -10.0 - i * 0.001, 1) for i, c in enumerate(alpha)]
+    seen = {p[0] for p in pieces}
+    used_scores = set()
+    target = len(pieces) + n_pieces
+    while len(pieces) < target:
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 5)))
+        if rng.random() < 0.4:
+            w = "▁" + w[:-1]
+        s = round(rng.uniform(-9.5, -0.5), 4)
+        if w in seen or s in used_scores:
+            continue
+        seen.add(w)
+        used_scores.add(s)
+        pieces.append((w, s, 1))
+    return pieces
+
+
+@pytest.mark.parametrize("model_type,byte_fallback",
+                         [("bpe", False), ("bpe", True),
+                          ("unigram", False), ("unigram", True)])
+def test_sentencepiece_cross_impl_fuzz(tmp_path, model_type,
+                                       byte_fallback):
+    """Harden the pure-Python sentencepiece reader against a SECOND
+    implementation (VERDICT r3 item 5b): HF's Rust `tokenizers` BPE /
+    Unigram models, built from the SAME .model file parsed by
+    transformers' vendored sentencepiece protobuf (an independent
+    decode of our protobuf writer's wire format). Fuzzes piece
+    inventories with distinct scores and random strings, including
+    out-of-vocab chars through the byte-fallback path."""
+    import random
+    pb2 = pytest.importorskip(
+        "transformers.utils.sentencepiece_model_pb2_new")
+    from transformers.convert_slow_tokenizer import generate_merges
+    from tokenizers import Tokenizer, models, normalizers
+
+    alpha = "abc" if byte_fallback else "abcde"
+    extra = "  zé€" if byte_fallback else "  "
+    rng = random.Random(0)
+    for seed in range(3):
+        rng.seed(seed)
+        pieces = _fuzz_spm_pieces(rng, alpha, byte_fallback)
+        path = str(tmp_path / f"fuzz_{seed}.model")
+        write_sentencepiece_model(path, pieces, model_type=model_type,
+                                  byte_fallback=byte_fallback)
+        mine = SentencePieceTokenizer(path)
+
+        # independent protobuf decode must agree field-for-field
+        proto = pb2.ModelProto()
+        with open(path, "rb") as f:
+            proto.ParseFromString(f.read())
+        assert [p.piece for p in proto.pieces] == mine.pieces
+        np.testing.assert_allclose([p.score for p in proto.pieces],
+                                   mine.scores)
+        assert [p.type for p in proto.pieces] == mine.types
+        assert proto.trainer_spec.model_type == mine.model_type
+        assert proto.trainer_spec.byte_fallback == mine.byte_fallback
+
+        vocab_scores = [(p.piece, p.score) for p in proto.pieces]
+        if model_type == "bpe":
+            vocab = {p.piece: i for i, p in enumerate(proto.pieces)}
+            merges = generate_merges(vocab, vocab_scores)
+            fast = Tokenizer(models.BPE(
+                vocab, merges, unk_token="<unk>", fuse_unk=True,
+                byte_fallback=byte_fallback))
+        else:
+            fast = Tokenizer(models.Unigram(
+                vocab_scores, unk_id=0, byte_fallback=byte_fallback))
+        # sentencepiece normalization: dummy prefix + ws -> U+2581
+        fast.normalizer = normalizers.Sequence([
+            normalizers.Prepend("▁"),
+            normalizers.Replace(" ", "▁")])
+
+        for _ in range(50):
+            n = rng.randint(0, 12)
+            s = "".join(rng.choice(alpha + extra)
+                        for _ in range(n)).strip()
+            ours = mine.encode(s)
+            ref = fast.encode(s, add_special_tokens=False).ids
+            assert ours == ref, (
+                f"{model_type} byte_fallback={byte_fallback} "
+                f"diverged on {s!r}: {ours} vs {ref}")
+            assert mine.decode(ours) == s
+
+
+def test_sentencepiece_empty_input_is_empty(tmp_path):
+    """sentencepiece returns [] for the empty sentence -- no dummy
+    prefix (cross-validated against HF fast tokenizers)."""
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              ("▁", -5.0, 1), ("a", -10.0, 1)]
+    p = str(tmp_path / "tok.model")
+    write_sentencepiece_model(p, pieces, model_type="bpe",
+                              byte_fallback=False)
+    tok = SentencePieceTokenizer(p)
+    assert tok.encode("") == []
+    assert tok.encode("", add_bos=True) == [tok.bos_id]
+
+
 def test_dict_config_attribute_view():
     c = DictConfig({"a": 1, "b": {"c": 2}})
     assert c.a == 1 and c.b.c == 2
@@ -413,6 +517,189 @@ def test_anyres_scorer_from_disk_checkpoint(tiny_next_ckpt_dir,
              {"x": 9, "y": 2, "leaf_id": 2, "geometric_score": 0.6}]
     scores = scorer.score(img, cands, "pick the best leaf")
     assert len(scores) == 2 and all(np.isfinite(s) for s in scores)
+
+
+# ------------------------------------ real-7B-shape sharded load path --
+
+_V16_TEXT = dict(hidden=4096, intermediate=14336, heads=32, kv_heads=8,
+                 vocab=32064)
+_V16_VISION = dict(hidden=1024, intermediate=4096, heads=16,
+                   image_size=336, patch_size=14)
+
+
+def _synth_v16_state_dict(n_layers=2, n_vis_layers=2, seed=0):
+    """HF-named llava-v1.6-mistral-7b state dict at the REAL per-tensor
+    shapes (hidden 4096, intermediate 14336, 32/8 heads, vocab 32064,
+    CLIP-L/336 tower), truncated to a 2-layer slice of each stack --
+    ~1.5 GB bf16, synthesized without torch/transformers. Yields
+    (name, bf16 array) pairs one tensor at a time to bound RAM."""
+    import ml_dtypes
+    t, v = _V16_TEXT, _V16_VISION
+    rng = np.random.default_rng(seed)
+    bf16 = ml_dtypes.bfloat16
+
+    def randn(*shape, scale=0.02):
+        return (rng.standard_normal(shape, dtype=np.float32)
+                * scale).astype(bf16)
+
+    def ones(*shape):
+        return np.ones(shape, bf16)
+
+    def zeros(*shape):
+        return np.zeros(shape, bf16)
+
+    vt = "vision_tower.vision_model"
+    n_pos = (v["image_size"] // v["patch_size"]) ** 2 + 1      # 577
+    yield f"{vt}.embeddings.class_embedding", randn(v["hidden"])
+    yield (f"{vt}.embeddings.position_embedding.weight",
+           randn(n_pos, v["hidden"]))
+    yield (f"{vt}.embeddings.patch_embedding.weight",
+           randn(v["hidden"], 3, v["patch_size"], v["patch_size"]))
+    yield f"{vt}.pre_layrnorm.weight", ones(v["hidden"])
+    yield f"{vt}.pre_layrnorm.bias", zeros(v["hidden"])
+    for i in range(n_vis_layers):
+        li = f"{vt}.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            yield f"{li}.{ln}.weight", ones(v["hidden"])
+            yield f"{li}.{ln}.bias", zeros(v["hidden"])
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            yield (f"{li}.self_attn.{proj}.weight",
+                   randn(v["hidden"], v["hidden"]))
+            yield f"{li}.self_attn.{proj}.bias", zeros(v["hidden"])
+        yield f"{li}.mlp.fc1.weight", randn(v["intermediate"], v["hidden"])
+        yield f"{li}.mlp.fc1.bias", zeros(v["intermediate"])
+        yield f"{li}.mlp.fc2.weight", randn(v["hidden"], v["intermediate"])
+        yield f"{li}.mlp.fc2.bias", zeros(v["hidden"])
+
+    yield ("multi_modal_projector.linear_1.weight",
+           randn(t["hidden"], v["hidden"]))
+    yield "multi_modal_projector.linear_1.bias", zeros(t["hidden"])
+    yield ("multi_modal_projector.linear_2.weight",
+           randn(t["hidden"], t["hidden"]))
+    yield "multi_modal_projector.linear_2.bias", zeros(t["hidden"])
+    yield "image_newline", randn(t["hidden"])
+
+    lm = "language_model.model"
+    kv_dim = t["hidden"] // t["heads"] * t["kv_heads"]         # 1024
+    yield f"{lm}.embed_tokens.weight", randn(t["vocab"], t["hidden"])
+    for i in range(n_layers):
+        li = f"{lm}.layers.{i}"
+        yield f"{li}.input_layernorm.weight", ones(t["hidden"])
+        yield f"{li}.post_attention_layernorm.weight", ones(t["hidden"])
+        yield f"{li}.self_attn.q_proj.weight", randn(t["hidden"],
+                                                     t["hidden"])
+        yield f"{li}.self_attn.k_proj.weight", randn(kv_dim, t["hidden"])
+        yield f"{li}.self_attn.v_proj.weight", randn(kv_dim, t["hidden"])
+        yield f"{li}.self_attn.o_proj.weight", randn(t["hidden"],
+                                                     t["hidden"])
+        yield f"{li}.mlp.gate_proj.weight", randn(t["intermediate"],
+                                                  t["hidden"])
+        yield f"{li}.mlp.up_proj.weight", randn(t["intermediate"],
+                                                t["hidden"])
+        yield f"{li}.mlp.down_proj.weight", randn(t["hidden"],
+                                                  t["intermediate"])
+    yield f"{lm}.norm.weight", ones(t["hidden"])
+    yield "lm_head.weight", randn(t["vocab"], t["hidden"])
+
+
+@pytest.fixture(scope="module")
+def real_dims_ckpt_dir(tmp_path_factory):
+    """A 3-shard v1.6 checkpoint at real 7B tensor shapes (2-layer
+    slice, bf16, ~1.5 GB): exercises index routing, mmap views, dtype
+    handling and quantize-on-load exactly as the full 14 GB checkpoint
+    would (VERDICT r3 item 5a)."""
+    t, v = _V16_TEXT, _V16_VISION
+    d = tmp_path_factory.mktemp("ckpt_7b_slice")
+    cfg = {
+        "architectures": ["LlavaNextForConditionalGeneration"],
+        "image_token_index": 32000,
+        "image_grid_pinpoints": [[336, 672], [672, 336], [672, 672],
+                                 [1008, 336], [336, 1008]],
+        "vision_feature_layer": -2,
+        "vision_feature_select_strategy": "default",
+        "vision_config": {
+            "hidden_size": v["hidden"],
+            "intermediate_size": v["intermediate"],
+            "num_hidden_layers": 2,
+            "num_attention_heads": v["heads"],
+            "image_size": v["image_size"],
+            "patch_size": v["patch_size"]},
+        "text_config": {
+            "model_type": "mistral",
+            "hidden_size": t["hidden"],
+            "intermediate_size": t["intermediate"],
+            "num_hidden_layers": 2,
+            "num_attention_heads": t["heads"],
+            "num_key_value_heads": t["kv_heads"],
+            "vocab_size": t["vocab"],
+            "rms_norm_eps": 1e-5,
+            "rope_theta": 1000000.0},
+    }
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+
+    # stream tensors into 3 shards, bounding host RAM to one shard
+    n_shards = 3
+    names_per_shard = [[] for _ in range(n_shards)]
+    shard_bufs = [{} for _ in range(n_shards)]
+    for j, (name, arr) in enumerate(_synth_v16_state_dict()):
+        shard_bufs[j % n_shards][name] = arr
+        names_per_shard[j % n_shards].append(name)
+    weight_map = {}
+    for s in range(n_shards):
+        fname = f"model-{s + 1:05d}-of-{n_shards:05d}.safetensors"
+        write_safetensors(str(d / fname), shard_bufs[s])
+        weight_map.update({k: fname for k in names_per_shard[s]})
+        shard_bufs[s] = None
+    with open(d / "model.safetensors.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    _prompt_vocab_model(str(d / "tokenizer.model"))
+    return str(d)
+
+
+def test_real_dims_sharded_quantized_load_and_serve(real_dims_ckpt_dir,
+                                                    capsys, monkeypatch):
+    """Load the real-7B-shape sharded checkpoint with quantize=int8 +
+    bf16 cast and serve one rerank through the CLI -- the closest
+    possible rehearsal of the real llava-v1.6-mistral-7b load
+    (vla_system/llava_processor.py:18-31) in a zero-egress environment:
+    index routing, bf16 mmap views, quantize-on-load and the serving
+    stack all at true tensor shapes."""
+    import jax.numpy as jnp
+    import flax.traverse_util as tu
+    monkeypatch.setitem(sys.modules, "transformers", None)
+    monkeypatch.setitem(sys.modules, "torch", None)
+
+    model, variables, tok = load_llava_checkpoint(
+        real_dims_ckpt_dir, dtype="bfloat16", quantize=True)
+    c = model.cfg
+    assert (c.hidden, c.intermediate, c.heads, c.kv_heads,
+            c.vocab_size) == (4096, 14336, 32, 8, 32064)
+    assert c.image_grid_pinpoints == ((336, 672), (672, 336), (672, 672),
+                                      (1008, 336), (336, 1008))
+    assert c.quantized and c.quant_bits == 8
+    flat = tu.flatten_dict(variables["params"])
+    q = flat[("layer_0", "self_attn", "q_proj", "kernel_q")]
+    assert q.shape == (4096, 4096) and q.dtype == jnp.int8
+    gate = flat[("layer_1", "gate_proj", "kernel_q")]
+    assert gate.shape == (4096, 14336) and gate.dtype == jnp.int8
+    assert flat[("embed_tokens", "embedding")].dtype == jnp.bfloat16
+    assert flat[("image_newline",)].shape == (4096,)
+
+    # one rerank through the CLI at these shapes (single-tile path --
+    # the anyres x5-tile prefill at 4096 dims is a chip-scale program,
+    # benched separately in tools/bench_vla_anyres.py)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import serve_llava
+    serve_llava.main([real_dims_ckpt_dir, "--dtype", "bfloat16",
+                      "--quantize", "int8", "--frame-size", "96", "128",
+                      "--seed", "1", "--candidates", "2",
+                      "--max-new-tokens", "3", "--json"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["candidates"] and out["best"] is not None
+    assert {"leaf_id", "strategy"} <= set(out["best"])
 
 
 def test_serve_llava_cli_end_to_end(tiny_next_ckpt_dir, capsys):
