@@ -119,8 +119,15 @@ class GraspService:
         -- single-chip throughput then matches pipelined dispatch
         (bench.py methodology) instead of serialize-per-frame. Results
         still publish in frame order, one frame late per depth; callers
-        drain with ``flush()``. Incompatible with VLA re-ranking (the
-        rerank needs the materialized result immediately).
+        drain with ``flush()``. Composes with ``hybrid_selector``: the
+        oldest in-flight frame's VLA rerank (a host-driven decode loop)
+        runs AFTER the newest frame's grasp program is dispatched, so
+        frame compute and the rerank's dispatch/fetch gaps overlap on
+        the device instead of strictly serializing (the reference VLA
+        node keeps processing while its VLA evaluates,
+        leaf_grasp_node_vla.py:97-146). The rerank of frame N uses the
+        freshest ``on_rgb`` image at completion time -- same
+        latest-image semantics as the synchronous path.
     """
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -133,9 +140,6 @@ class GraspService:
                  pipeline_depth: int = 0,
                  record_path: Optional[str] = None,
                  cnn_norm_stats=None):
-        if pipeline_depth and hybrid_selector is not None:
-            raise ValueError("pipeline_depth requires hybrid_selector="
-                             "None (VLA re-rank is synchronous)")
         self.pipeline_depth = pipeline_depth
         self._inflight: List[tuple] = []
         self._recorder = None
@@ -245,33 +249,36 @@ class GraspService:
                                    np.float32(cam.cx), np.float32(cam.cy),
                                    np.float32(cam.fx))
 
+            idx = self._frames
+            self._frames += 1
+            entry = (res, mask16, depth, mask_stamp, depth_stamp, idx)
             if self.pipeline_depth:
                 # async dispatch: `res` is an unmaterialized device
-                # future; finalize the oldest in-flight frame once the
+                # future; complete the oldest in-flight frame once the
                 # window is full (device computes the new frame while
-                # the host publishes the old one)
-                idx = self._frames
-                self._frames += 1
-                self._inflight.append((res, mask_stamp, depth_stamp, idx))
+                # the host publishes -- and, with a hybrid_selector,
+                # reranks -- the old one)
+                self._inflight.append(entry)
                 if len(self._inflight) > self.pipeline_depth:
-                    return self._finalize(*self._inflight.pop(0))
+                    return self._complete(*self._inflight.pop(0))
                 return None
+            return self._complete(*entry)
 
-            found = bool(res.found)
-            vla_choice = None
-            if self.hybrid_selector is not None and found:
-                with self.timer.stage("vla_rerank"):
-                    vla_choice = self._vla_rerank(res, mask, depth)
-                if vla_choice is not None and \
-                        vla_choice["leaf_id"] != int(res.leaf_id):
-                    # re-run pixel selection on the VLA-chosen leaf
-                    with self.timer.stage("vla_reselect"):
-                        res = self._reselect(mask, depth,
-                                             vla_choice["leaf_id"])
-
-        idx = self._frames
-        self._frames += 1
-        return self._finalize(res, mask_stamp, depth_stamp, idx,
+    def _complete(self, res, mask16, depth, mask_stamp, depth_stamp,
+                  frame_index):
+        """Materialize a dispatched frame: VLA rerank (when configured)
+        then host-side finalize/publish."""
+        vla_choice = None
+        if self.hybrid_selector is not None and bool(res.found):
+            with self.timer.stage("vla_rerank"):
+                vla_choice = self._vla_rerank(res, mask16, depth)
+            if vla_choice is not None and \
+                    vla_choice["leaf_id"] != int(res.leaf_id):
+                # re-run pixel selection on the VLA-chosen leaf
+                with self.timer.stage("vla_reselect"):
+                    res = self._reselect(mask16, depth,
+                                         vla_choice["leaf_id"])
+        return self._finalize(res, mask_stamp, depth_stamp, frame_index,
                               vla_choice)
 
     def _finalize(self, res, mask_stamp, depth_stamp, frame_index,
@@ -300,7 +307,7 @@ class GraspService:
         with self._proc_lock:
             outs = []
             while self._inflight:
-                outs.append(self._finalize(*self._inflight.pop(0)))
+                outs.append(self._complete(*self._inflight.pop(0)))
             return outs
 
     def _vla_rerank(self, res, mask, depth):

@@ -349,9 +349,47 @@ def test_grasp_service_pipelined_dispatch():
     assert [r["frame_index"] for r in results] == [0, 1, 2, 3]
     assert msgs == sync_msgs
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        GraspService(CFG, hybrid_selector=object(), pipeline_depth=1)
+
+def test_grasp_service_pipelined_vla_rerank():
+    """pipeline_depth composes with hybrid_selector (VERDICT r3 item
+    2): the oldest frame's rerank runs after the newest dispatch, in
+    frame order, with messages identical to the synchronous hybrid
+    service."""
+    from leafgrasp_tpu.vla import HybridGraspSelector, VLAProcessor, \
+        HeuristicScorer
+
+    def make(depth_n, msgs):
+        return GraspService(
+            CFG, hybrid_selector=HybridGraspSelector(
+                VLAProcessor(HeuristicScorer())),
+            publish=msgs.append, min_interval_s=0.0,
+            pipeline_depth=depth_n)
+
+    mask, depth = _scene()
+    frames = [(np.roll(mask, i, axis=1), np.roll(depth, i, axis=1))
+              for i in range(4)]
+    rgb = np.zeros((H, W, 3), np.uint8)
+
+    sync_msgs, sync_vla = [], []
+    svc_sync = make(0, sync_msgs)
+    svc_sync.on_rgb(rgb)
+    for m, d in frames:
+        out = svc_sync.process_frame(m, d)
+        sync_vla.append(out["vla"])
+    assert all(v is not None for v in sync_vla)
+
+    msgs, results = [], []
+    svc = make(2, msgs)
+    svc.on_rgb(rgb)
+    outs = [svc.process_frame(m, d) for m, d in frames]
+    assert outs[0] is None and outs[1] is None          # window filling
+    assert outs[2]["frame_index"] == 0 and outs[2]["vla"] is not None
+    tail = svc.flush()
+    assert [t["frame_index"] for t in tail] == [2, 3]
+    assert all(t["vla"] is not None for t in tail)
+    assert msgs == sync_msgs
+    assert [o["vla"]["leaf_id"] for o in [outs[2], outs[3]] + tail] \
+        == [v["leaf_id"] for v in sync_vla]
 
 
 # --------------------------------------------------------------- framelog --

@@ -16,6 +16,11 @@ as ONE GraspService on the real chip (VERDICT r2 item 4):
 * measures combined frames/sec, the per-stage split (select_grasp /
   vla_rerank / vla_reselect / finalize from the service StageTimer),
   and HBM co-residency of the frame program beside the VLA weights;
+* A/B in ONE process (PERF.md measurement rules): serial
+  (pipeline_depth=0, frame -> rerank -> finalize) vs overlapped
+  (pipeline_depth=1: the next frame's grasp program is dispatched
+  before the previous frame's host-driven rerank decode, VERDICT r3
+  item 2), alternating batches, best-of per mode;
 * degradation: after the measured frames, the scorer is broken
   (raises) and more frames are processed -- the service must keep
   publishing geometric results (leaf_grasp_node_vla.py:133-137).
@@ -122,11 +127,17 @@ def main():
     cfg = DEFAULT_CONFIG                      # enhanced union isolation
     _, cnn_vars = init_grasp_cnn(jax.random.PRNGKey(0), cfg.model)
     published = []
-    svc = GraspService(cfg, cnn_variables=cnn_vars,
-                       hybrid_selector=HybridGraspSelector(
-                           VLAProcessor(scorer)),
-                       publish=published.append,
-                       min_interval_s=0.0)    # measure, don't rate-gate
+
+    def make_svc(depth_n):
+        return GraspService(cfg, cnn_variables=cnn_vars,
+                            hybrid_selector=HybridGraspSelector(
+                                VLAProcessor(scorer)),
+                            publish=published.append,
+                            min_interval_s=0.0,   # measure, don't gate
+                            pipeline_depth=depth_n)
+
+    svc = make_svc(0)                         # serial: the r2/r3 mode
+    svc_over = make_svc(1)                    # overlapped (VERDICT r3 #2)
 
     # mixed families (bench.py): leaf count + area drive the adaptive
     # EDT band and the window ladder
@@ -138,30 +149,53 @@ def main():
            .uniform(0, 255, (cfg.frame.height, cfg.frame.width, 3))
            .astype(np.uint8))
     svc.on_rgb(rgb)
+    svc_over.on_rgb(rgb)
 
-    def feed(i):
+    def feed(s, i):
         mask, depth = scenes[i % len(scenes)]
-        svc.on_mask(np.roll(mask, 3 * i, axis=1), stamp_us=i)
-        svc.on_depth(np.roll(depth, 3 * i, axis=1), stamp_us=i)
+        s.on_mask(np.roll(mask, 3 * i, axis=1), stamp_us=i)
+        s.on_depth(np.roll(depth, 3 * i, axis=1), stamp_us=i)
 
     # warmup: compile frame program + tower + prefill + decode steps
-    feed(0)
+    feed(svc, 0)
     out = svc.process_pending(force=True)
     assert out is not None and out["found"], "warmup frame failed"
     print(f"warmup ok in {time.monotonic() - t0:.0f}s "
           f"(build {t_build:.0f}s); vla={out['vla'] is not None}",
           flush=True)
+    feed(svc_over, 0)                         # its own frame fn compiles
+    svc_over.process_pending(force=True)
+    svc_over.flush()
     from leafgrasp_tpu.utils.profiler import StageTimer
     svc.timer = StageTimer()                  # drop warmup from stages
 
-    t0 = time.monotonic()
+    def run_batch(s, n, i0):
+        """Wall time for n frames through service s (drained)."""
+        n_vla = 0
+        t = time.monotonic()
+        for i in range(i0, i0 + n):
+            feed(s, i)
+            out = s.process_pending(force=True)
+            if out is not None:
+                assert out["found"]
+                n_vla += out["vla"] is not None
+        for out in s.flush():
+            assert out["found"]
+            n_vla += out["vla"] is not None
+        return time.monotonic() - t, n_vla
+
+    # interleaved A/B batches, best-of per mode (PERF.md rules)
+    half = max(2, args.frames // 2)
+    walls = {"serial": [], "overlap": []}
     n_vla = 0
-    for i in range(1, args.frames + 1):
-        feed(i)
-        out = svc.process_pending(force=True)
-        assert out is not None and out["found"]
-        n_vla += out["vla"] is not None
-    wall = time.monotonic() - t0
+    for rep in range(2):
+        w, v = run_batch(svc, half, 1 + 2 * rep * half)
+        walls["serial"].append(w / half)
+        n_vla += v
+        w, v = run_batch(svc_over, half, 1 + (2 * rep + 1) * half)
+        walls["overlap"].append(w / half)
+    best_serial = min(walls["serial"])
+    best_over = min(walls["overlap"])
     mem_peak = device_mem_gb()
     stages = {k: dict(mean_ms=round(v["mean_ms"], 1),
                       count=v["count"])
@@ -174,7 +208,7 @@ def main():
         def score(self, *a, **k):
             raise RuntimeError("backend failure injection")
     svc.hybrid_selector.processor.backend = _Boom()
-    feed(args.frames + 1)
+    feed(svc, 10 * args.frames + 1)
     out1 = svc.process_pending(force=True)
     inner_ok = bool(out1 is not None and out1["found"]
                     and out1["vla"] is not None)
@@ -187,15 +221,20 @@ def main():
         def select_grasp_point(self, *a, **k):
             raise RuntimeError("selector failure injection (OOM)")
     svc.hybrid_selector = _Raiser()
-    feed(args.frames + 2)
+    feed(svc, 10 * args.frames + 2)
     out2 = svc.process_pending(force=True)
     degraded_ok = bool(out2 is not None and out2["found"]
                        and out2["message"] and out2["vla"] is None)
 
     rec = dict(
         metric="vla_enhanced_service_frames_per_sec",
-        frames=args.frames, value=round(args.frames / wall, 3),
-        ms_per_frame=round(wall / args.frames * 1e3, 1),
+        frames=args.frames, value=round(1.0 / best_serial, 3),
+        ms_per_frame=round(best_serial * 1e3, 1),
+        overlap_fps=round(1.0 / best_over, 3),
+        overlap_ms_per_frame=round(best_over * 1e3, 1),
+        overlap_speedup=round(best_serial / best_over, 3),
+        ab_ms_per_frame={k: [round(x * 1e3, 1) for x in v]
+                         for k, v in walls.items()},
         vla_reranked_frames=n_vla,
         quantize=args.quantize, dims="tiny" if args.tiny else "7B",
         stages=stages, published=len(published),
