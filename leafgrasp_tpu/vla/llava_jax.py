@@ -79,6 +79,15 @@ class LlavaJaxConfig:
     # int4 only: nibble-packed int8 storage instead of native jnp.int4
     # (for backends without S4 executables)
     quant_packed: bool = False
+    # LM prefill attention query-chunking threshold: prompts longer than
+    # this compute attention in ~this-many-query chunks (lax.scan), so
+    # the f32 score transient is (b, heads, chunk, total) instead of
+    # (b, heads, t, t). Mathematically exact -- each query row's
+    # softmax and value reduction see the same operands (any bf16
+    # tiling drift is the measured-0-flips batch-shape class);
+    # required for the anyres B=5 prefill, whose full score tensor is
+    # 7.4 GB at 2.4k tokens. None disables chunking.
+    prefill_attn_chunk: Optional[int] = 512
 
     @property
     def head_dim(self) -> int:
@@ -243,7 +252,13 @@ class _RMSNorm(nn.Module):
 
 
 def _rope_hf(x, positions, theta):
-    """HF rotate_half convention: pairs split at half-dim."""
+    """HF rotate_half convention: pairs split at half-dim.
+
+    Angles compute in f32; the result casts back to x's dtype exactly
+    like transformers (cos/sin are `.to(q.dtype)` there). Keeping the
+    f32 upcast instead silently ran the prefill QK einsum as an f32
+    matmul (off the bf16 MXU path) and doubled Q's HBM footprint --
+    1.6 GB at the 2.4k-token anyres prefill."""
     d = x.shape[-1]
     half = d // 2
     freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32)
@@ -252,7 +267,7 @@ def _rope_hf(x, positions, theta):
     cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)[..., None, :]
     sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)[..., None, :]
     rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
-    return x * cos + rot * sin
+    return (x * cos + rot * sin).astype(x.dtype)
 
 
 class _MistralAttention(nn.Module):
@@ -277,8 +292,8 @@ class _MistralAttention(nn.Module):
         v = v.reshape(b, t, c.kv_heads, hd)
 
         if cache is not None:
-            # cache dtype rules (RoPE upcasts k to f32 even under bf16
-            # compute, so cast at the boundary rather than assume)
+            # cache dtype rules (under f32 compute k may be wider than
+            # the cache dtype: cast at the boundary rather than assume)
             ck, cv, cur = cache
             k = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
                                              (0, cur, 0, 0))
@@ -289,12 +304,40 @@ class _MistralAttention(nn.Module):
         rep = c.heads // c.kv_heads
         kr = jnp.repeat(k, rep, axis=2)
         vr = jnp.repeat(v, rep, axis=2)
-        scores = jnp.einsum("bthd,bshd->bhts", q, kr,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(hd))
-        scores = jnp.where(mask, scores, jnp.float32(-1e30))
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", probs, vr)
+
+        def attend(qc, mc):
+            """Exact attention for a block of query rows against the
+            full key/value axis (softmax per row is self-contained)."""
+            scores = jnp.einsum("bthd,bshd->bhts", qc, kr,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(hd))
+            scores = jnp.where(mc, scores, jnp.float32(-1e30))
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            return jnp.einsum("bhts,bshd->bthd", probs, vr)
+
+        tc = c.prefill_attn_chunk
+        if (tc is None or t <= tc
+                or mask.ndim != 4 or mask.shape[2] != t):
+            out = attend(q, mask)
+        else:
+            # long prefill: scan over query chunks so the f32 score
+            # transient is (b, heads, tc, total), not (b, heads, t, t)
+            # -- the B=5 anyres prefill's full tensor is 7.4 GB
+            n = -(-t // tc)
+            tc = -(-t // n)                  # equalize to minimize pad
+            t_pad = n * tc
+            qp = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+            mp = jnp.pad(mask, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+            # (all-masked pad rows softmax to uniform; sliced off below)
+            q_ch = jnp.moveaxis(
+                qp.reshape(b, n, tc, c.heads, hd), 1, 0)
+            m_ch = jnp.moveaxis(
+                mp.reshape(mp.shape[0], 1, n, tc, -1), 2, 0)
+            out = jax.lax.scan(
+                lambda _, xs: (None, attend(*xs)), None,
+                (q_ch, m_ch))[1]             # (n, b, tc, heads, hd)
+            out = jnp.moveaxis(out, 0, 1).reshape(
+                b, t_pad, c.heads, hd)[:, :t]
         out = _proj(c.hidden, "o_proj", lora, c.jnp_dtype,
                     c)(out.reshape(b, t, c.heads * hd))
         return out, cache

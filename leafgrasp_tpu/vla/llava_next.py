@@ -22,8 +22,9 @@ from leafgrasp_tpu.vla.llava_jax import (LlavaJax, _VisionProject,
 from leafgrasp_tpu.vla.llava_runtime import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 
 __all__ = ["select_best_resolution", "anyres_grid_shape", "unpad_feature_grid",
-           "pack_anyres_features", "preprocess_anyres",
-           "llava_next_forward", "llava_next_generate"]
+           "pack_anyres_features", "pack_anyres_features_jnp",
+           "preprocess_anyres", "llava_next_forward",
+           "llava_next_generate"]
 
 
 def select_best_resolution(image_hw: Tuple[int, int],
@@ -68,6 +69,23 @@ def unpad_feature_grid(grid: np.ndarray, image_hw) -> np.ndarray:
     return grid[:, pad:cw - pad]
 
 
+def _pack_plan(image_hw, pinpoints, cfg):
+    """Static packing geometry shared by the host and device packers:
+    (patches_per_side, grid_w, grid_h, unpad row/col crop). All pure
+    Python ints, so the device packer can jit with fixed shapes."""
+    pp = cfg.image_size // cfg.patch_size
+    gw, gh = anyres_grid_shape(image_hw, pinpoints, cfg.image_size)
+    oh, ow = image_hw
+    ch, cw = gh * pp, gw * pp
+    if ow / oh > cw / ch:                 # mirror unpad_feature_grid
+        pad = (ch - int(round(oh * (cw / ow), 7))) // 2
+        crop = (pad, ch - pad, 0, cw)
+    else:
+        pad = (cw - int(round(ow * (ch / oh), 7))) // 2
+        crop = (0, ch, pad, cw - pad)
+    return pp, gw, gh, crop
+
+
 def pack_anyres_features(tile_features: np.ndarray, image_hw,
                          pinpoints, cfg, image_newline: np.ndarray
                          ) -> np.ndarray:
@@ -77,17 +95,35 @@ def pack_anyres_features(tile_features: np.ndarray, image_hw,
     tile_features = np.asarray(tile_features)
     base = tile_features[0]
     spatial = tile_features[1:]
-    pp = cfg.image_size // cfg.patch_size
-    gw, gh = anyres_grid_shape(image_hw, pinpoints, cfg.image_size)
+    pp, gw, gh, (r0, r1, c0, c1) = _pack_plan(image_hw, pinpoints, cfg)
     d = tile_features.shape[-1]
 
     grid = spatial.reshape(gh, gw, pp, pp, d)
     grid = grid.transpose(0, 2, 1, 3, 4).reshape(gh * pp, gw * pp, d)
-    grid = unpad_feature_grid(grid, image_hw)
+    grid = grid[r0:r1, c0:c1]
     newline = np.broadcast_to(np.asarray(image_newline),
                               (grid.shape[0], 1, d))
     grid = np.concatenate([grid, newline], axis=1)
     return np.concatenate([base, grid.reshape(-1, d)], axis=0)
+
+
+def pack_anyres_features_jnp(tile_features, image_hw, pinpoints, cfg,
+                             image_newline):
+    """Device twin of pack_anyres_features (same plan, jnp ops): keeps
+    the ~40 MB of 7B-dims tile features on the device instead of
+    round-tripping them through the host for packing -- jit-safe
+    because every shape in the plan is static for a given image size."""
+    pp, gw, gh, (r0, r1, c0, c1) = _pack_plan(image_hw, pinpoints, cfg)
+    base = tile_features[0]
+    spatial = tile_features[1:]
+    d = tile_features.shape[-1]
+    grid = spatial.reshape(gh, gw, pp, pp, d)
+    grid = grid.transpose(0, 2, 1, 3, 4).reshape(gh * pp, gw * pp, d)
+    grid = grid[r0:r1, c0:c1]
+    newline = jnp.broadcast_to(
+        jnp.asarray(image_newline, grid.dtype), (grid.shape[0], 1, d))
+    grid = jnp.concatenate([grid, newline], axis=1)
+    return jnp.concatenate([base, grid.reshape(-1, d)], axis=0)
 
 
 def _patch_output_size(oh: int, ow: int, th: int, tw: int):

@@ -133,6 +133,8 @@ class LlavaJaxScorer:
                     "(present in v1.6 safetensors; checkpoint_io "
                     "carries it through)")
         self._decode_calls = {}   # (batch, prompt_len) -> compiled call
+        self._encode_calls = {}   # (tiles shape, image hw) -> jitted enc
+        self._tower_call = None   # jitted single-tile tower+projector
 
     def _encode(self, prompt: str, n_image_tokens: int) -> list:
         ids = list(self.tokenizer.encode(prompt))
@@ -146,24 +148,39 @@ class LlavaJaxScorer:
 
         Single-tile (v1.5) path: one CLIP tower pass, N = num_patches.
         anyres (v1.6): tile to the best grid pinpoint, encode ALL tiles
-        in one tower batch, pack with unpad + newline host-side.
+        in one tower batch, pack with unpad + newline ON DEVICE.
+
+        Both paths run as ONE jitted program per (tile shape, image
+        size): an eager tower apply dispatches every op separately
+        (~3.8 ms tunnel RTT each -> seconds per frame), and host-side
+        packing round-trips ~40 MB of 7B-dims tile features; measured
+        together they dominated the first anyres serving bench.
         """
+        import jax
         import jax.numpy as jnp
         from leafgrasp_tpu.vla.llava_jax import _VisionProject
 
         c = self.model.cfg
         if not self.anyres:
             px = jnp.asarray(preprocess_image(image, c.image_size))
-            f = _VisionProject(c).apply(self.variables, px)
-            return f, c.num_patches
-        from leafgrasp_tpu.vla.llava_next import (preprocess_anyres,
-                                                  pack_anyres_features)
+            if self._tower_call is None:
+                self._tower_call = jax.jit(
+                    lambda v, p: _VisionProject(c).apply(v, p))
+            return self._tower_call(self.variables, px), c.num_patches
+        from leafgrasp_tpu.vla.llava_next import (
+            preprocess_anyres, pack_anyres_features_jnp)
         tiles, hw = preprocess_anyres(image, c.image_grid_pinpoints, c)
-        tf = _VisionProject(c).apply(self.variables, jnp.asarray(tiles))
-        packed = pack_anyres_features(
-            np.asarray(tf), hw, c.image_grid_pinpoints, c,
-            np.asarray(self.variables["params"]["image_newline"]))
-        return jnp.asarray(packed)[None], packed.shape[0]
+        key = (tiles.shape, hw)
+        if key not in self._encode_calls:
+            def enc(v, tl):
+                tf = _VisionProject(c).apply(v, tl)
+                return pack_anyres_features_jnp(
+                    tf, hw, c.image_grid_pinpoints, c,
+                    v["params"]["image_newline"])
+            self._encode_calls[key] = jax.jit(enc)
+        packed = self._encode_calls[key](self.variables,
+                                         jnp.asarray(tiles))
+        return packed[None], packed.shape[0]
 
     def score(self, image, candidates: List[dict],
               instruction: str) -> List[float]:

@@ -288,6 +288,35 @@ def test_anyres_preprocess_and_generate(tiny_next_pair):
     assert np.asarray(gen).shape == (1, 4)
 
 
+def test_pack_anyres_device_matches_host(tiny_next_pair):
+    """pack_anyres_features_jnp (the on-device packer the serving
+    scorer jits) must equal the host packer bit-for-bit at f32 on
+    every pinpoint aspect class (row crop / col crop / square)."""
+    from leafgrasp_tpu.vla.llava_next import (anyres_grid_shape,
+                                              pack_anyres_features,
+                                              pack_anyres_features_jnp)
+    _, _, variables, cfg = tiny_next_pair
+    rng = np.random.default_rng(7)
+    newline = rng.normal(size=(cfg.hidden,)).astype(np.float32)
+    pp = cfg.image_size // cfg.patch_size
+    for hw in ((40, 50), (50, 40), (41, 41), (30, 90)):
+        gw, gh = anyres_grid_shape(hw, cfg.image_grid_pinpoints,
+                                   cfg.image_size)
+        tf = rng.normal(size=(1 + gw * gh, pp * pp, cfg.hidden)
+                        ).astype(np.float32)
+        host = pack_anyres_features(tf, hw, cfg.image_grid_pinpoints,
+                                    cfg, newline)
+        dev = pack_anyres_features_jnp(jnp_asarray(tf), hw,
+                                       cfg.image_grid_pinpoints, cfg,
+                                       newline)
+        np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
 def test_scorer_anyres_matches_sequential_next_path():
     """LlavaJaxScorer(anyres=True) batched rerank generates the same
     tokens as per-candidate llava_next_generate (the serving wiring of
@@ -411,6 +440,49 @@ def test_sliding_window_attention_parity():
     ours, _ = model.apply(variables, ids)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=5e-3,
                                atol=3e-3)
+
+
+def test_prefill_attn_chunking_parity(tiny_pair):
+    """Query-chunked prefill attention (the memory fix that lets the
+    B=5 anyres prefill fit next to the weights) must reproduce the
+    unchunked logits, including an uneven final chunk, left padding,
+    and the generate path."""
+    import dataclasses
+    import jax.numpy as jnp
+    _, model, variables, cfg = tiny_pair
+    rng = np.random.default_rng(4)
+    px = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+    ids = np.array([[1, 100, 100, 100, 100, 5, 9, 12, 7, 3],
+                    [0, 0, 1, 100, 100, 100, 100, 8, 3, 6]], np.int32)
+    pad = np.array([0, 2], np.int32)
+    positions = np.maximum(np.arange(ids.shape[1])[None, :]
+                           - pad[:, None], 0)
+    t = ids.shape[1]
+    mask = np.tril(np.ones((t, t), bool))[None, None] \
+        & (np.arange(t)[None, None, None, :] >= pad[:, None, None, None])
+
+    base, _ = model.apply(variables, ids, pixel_values=px,
+                          positions=positions, mask=mask)
+    for chunk in (4, 3, 1):               # uneven + degenerate sizes
+        m_c = LlavaJax(dataclasses.replace(cfg,
+                                           prefill_attn_chunk=chunk))
+        ours, _ = m_c.apply(variables, ids, pixel_values=px,
+                            positions=positions, mask=mask)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
+    gen_base = greedy_generate_llava(model, variables,
+                                     jnp.asarray(ids),
+                                     pixel_values=jnp.asarray(px),
+                                     max_new_tokens=4,
+                                     pad_lens=jnp.asarray(pad))
+    m_c = LlavaJax(dataclasses.replace(cfg, prefill_attn_chunk=4))
+    gen_c = greedy_generate_llava(m_c, variables, jnp.asarray(ids),
+                                  pixel_values=jnp.asarray(px),
+                                  max_new_tokens=4,
+                                  pad_lens=jnp.asarray(pad))
+    np.testing.assert_array_equal(np.asarray(gen_c),
+                                  np.asarray(gen_base))
 
 
 def test_bf16_compute_dtype(tiny_pair):
