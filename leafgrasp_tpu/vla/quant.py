@@ -109,9 +109,17 @@ class QuantDense(nn.Module):
             q = self.param("kernel_q",
                            lambda key, shape: jnp.zeros(shape, jnp.int8),
                            (in_f, self.features))
-            y = xc @ q.astype(self.dtype)
-            return (y.astype(jnp.float32)
-                    * s.reshape(-1)).astype(self.dtype)
+            # f32 accumulator OUTPUT (the MXU accumulates f32 either
+            # way): rounding y to bf16 before the f32 scale multiply
+            # double-rounded every logit, and the fused int8->bf16
+            # convert makes XLA pick different lowerings for the B=1
+            # and B=5 decode matvecs -- together that flipped 100/100
+            # greedy token paths between the batched and sequential
+            # rerank at int8 where bf16 flipped 0/100 (PERF.md
+            # stability table; measured on chip before/after).
+            y = jnp.matmul(xc, q.astype(self.dtype),
+                           preferred_element_type=jnp.float32)
+            return (y * s.reshape(-1)).astype(self.dtype)
 
         packed = self.packed
         if packed and (in_f // g) % 2:
@@ -147,12 +155,14 @@ class QuantDense(nn.Module):
             half = gs // 2
             lo = lo.astype(self.dtype).reshape(g, half, self.features)
             hi = hi.astype(self.dtype).reshape(g, half, self.features)
-            part = (jnp.einsum("ngi,gio->ngo", xg[..., 0::2], lo)
-                    + jnp.einsum("ngi,gio->ngo", xg[..., 1::2], hi)
-                    ).astype(jnp.float32)
+            part = (jnp.einsum("ngi,gio->ngo", xg[..., 0::2], lo,
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum("ngi,gio->ngo", xg[..., 1::2], hi,
+                                 preferred_element_type=jnp.float32))
         else:
             wg = q.astype(self.dtype).reshape(g, gs, self.features)
-            part = jnp.einsum("ngi,gio->ngo", xg, wg).astype(jnp.float32)
+            part = jnp.einsum("ngi,gio->ngo", xg, wg,
+                              preferred_element_type=jnp.float32)
         y = (part * s).sum(axis=1)
         return y.reshape(*lead, self.features).astype(self.dtype)
 
