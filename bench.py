@@ -100,7 +100,7 @@ def main():
     fps, fam = measure(cfg)
     fps_enh, fam_enh = measure(cfg_enh)
     worst = min(fam.values())
-    print(json.dumps({
+    rec = {
         "metric": "end_to_end_grasp_selection_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
@@ -109,7 +109,26 @@ def main():
         "worst_case_fps": round(worst, 3),
         "family_fps": {k: round(v, 3) for k, v in fam.items()},
         "family_fps_enhanced": {k: round(v, 3) for k, v in fam_enh.items()},
-    }))
+    }
+    # Combined VLA-enhanced service throughput (frame + 7B rerank in one
+    # GraspService). Building/quantizing 7B-dims weights takes many
+    # minutes on this host, so the number is measured by
+    # tools/bench_vla_service.py (which writes the artifact read here)
+    # rather than inline; provenance fields say when/how it was taken.
+    vla_art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts", "vla_service_bench.json")
+    if os.path.exists(vla_art):
+        with open(vla_art) as f:
+            v = json.load(f)
+        rec["vla_service_fps"] = max(v["value"], v.get("overlap_fps", 0))
+        rec["vla_service_provenance"] = {
+            "tool": "tools/bench_vla_service.py",
+            "quantize": v.get("quantize"), "dims": v.get("dims"),
+            "backend": v.get("backend"),
+            "recorded_unix": v.get("recorded_unix"),
+            "serial_fps": v["value"],
+            "overlap_fps": v.get("overlap_fps")}
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

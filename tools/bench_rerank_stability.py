@@ -174,18 +174,27 @@ def main():
         cfg = LlavaJaxConfig(dtype="bfloat16", layers=args.layers,
                              hidden=args.hidden)
     results = []
-    model, variables = build(cfg)
-    if not args.skip_bf16:
-        results.append(run_mode("bf16", model, variables, args.frames))
-    if args.int8:
-        from leafgrasp_tpu.vla.llava_jax import LlavaJax
-        from leafgrasp_tpu.vla.quant import \
-            quantize_llava_variables_device
-        box = [variables]
-        del variables
-        qvars = quantize_llava_variables_device(box, bits=8)
-        qmodel = LlavaJax(dataclasses.replace(cfg, quantized=True))
+    if args.skip_bf16 and args.int8:
+        # leaf-streamed quantized build (bench_vla.build_quantized):
+        # the full bf16 tree never materializes, so the int8 pass can't
+        # inherit a deferred OOM from a 14.1 GB build on a shared chip
+        from bench_vla import build_quantized
+        qmodel, qvars = build_quantized(cfg)
         results.append(run_mode("int8", qmodel, qvars, args.frames))
+    else:
+        model, variables = build(cfg)
+        if not args.skip_bf16:
+            results.append(run_mode("bf16", model, variables,
+                                    args.frames))
+        if args.int8:
+            from leafgrasp_tpu.vla.quant import \
+                quantize_llava_variables_device
+            from leafgrasp_tpu.vla.llava_jax import LlavaJax
+            box = [variables]
+            del variables
+            qvars = quantize_llava_variables_device(box, bits=8)
+            qmodel = LlavaJax(dataclasses.replace(cfg, quantized=True))
+            results.append(run_mode("int8", qmodel, qvars, args.frames))
     print(json.dumps(results, indent=2))
 
 

@@ -42,6 +42,48 @@ def build(cfg: LlavaJaxConfig, seed: int = 0):
     return model, variables
 
 
+def build_quantized(cfg: LlavaJaxConfig, seed: int = 0):
+    """int8-serving build that NEVER materializes the full bf16 tree:
+    each LM projection kernel is initialized and quantized leaf by leaf
+    (peak HBM = the int8 tree + ONE bf16 leaf, ~7.3 GB at 7B dims).
+    build()-then-quantize instead peaks at the full 14.1 GB bf16 tree,
+    which on a 16 GB chip leaves no headroom and intermittently
+    RESOURCE_EXHAUSTs under any co-tenant."""
+    import dataclasses
+    import flax.traverse_util as tu
+    from leafgrasp_tpu.vla.quant import (LM_PROJ_NAMES,
+                                         _quantize_kernel_int8_device)
+
+    model = LlavaJax(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    px = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids,
+                            pixel_values=px)
+
+    key = [jax.random.PRNGKey(seed)]
+
+    def make(leaf):
+        key[0], sub = jax.random.split(key[0])
+        dt = jnp.bfloat16 if leaf.dtype == jnp.float32 else leaf.dtype
+        return jax.jit(lambda k: (0.02 * jax.random.normal(
+            k, leaf.shape, jnp.float32)).astype(dt))(sub)
+
+    out = {}
+    for k, leaf in tu.flatten_dict(shapes).items():
+        names = set(k)
+        v = make(leaf)
+        if (k[-1] == "kernel" and names & set(LM_PROJ_NAMES)
+                and "vision_tower" not in names):
+            q, s = _quantize_kernel_int8_device(v)
+            del v
+            out[k[:-1] + ("kernel_q",)] = q
+            out[k[:-1] + ("kernel_scale",)] = s
+        else:
+            out[k] = v
+    qmodel = LlavaJax(dataclasses.replace(cfg, quantized=True))
+    return qmodel, tu.unflatten_dict(out)
+
+
 def main():
     n_text = 60           # the reference prompt is ~100 tokens total
     n_new = 10            # llava_processor.py:78 max_new_tokens=10

@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
-    from bench_vla import build
+    from bench_vla import build, build_quantized
     from leafgrasp_tpu.vla.llava_jax import LlavaJax, LlavaJaxConfig
     from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
 
@@ -77,21 +77,19 @@ def main():
     else:
         cfg = LlavaJaxConfig(dtype="bfloat16",
                              image_grid_pinpoints=V16_PINPOINTS)
-    model, variables = build(cfg)
+    if args.quantize == "int8":
+        # leaf-streamed quantized build: never materializes the full
+        # bf16 tree (14.1 GB peak -> ~7.3 GB; see bench_vla.py)
+        model, variables = build_quantized(cfg)
+    else:
+        model, variables = build(cfg)
     # build() randomizes the init shape-tree, which has no anyres tile
     # separator; real v1.6 safetensors carry it (checkpoint_io does too).
     import jax
-    variables["params"]["image_newline"] = np.asarray(
+    import jax.numpy as jnp
+    variables["params"]["image_newline"] = jnp.asarray(
         0.02 * jax.random.normal(jax.random.PRNGKey(7), (cfg.hidden,)),
-        np.float32).astype(
-            variables["params"]["embed_tokens"]["embedding"].dtype)
-    if args.quantize == "int8":
-        from leafgrasp_tpu.vla.quant import \
-            quantize_llava_variables_device
-        box = [variables]
-        del variables
-        variables = quantize_llava_variables_device(box, bits=8)
-        model = LlavaJax(dataclasses.replace(cfg, quantized=True))
+        variables["params"]["embed_tokens"]["embedding"].dtype)
 
     scorer = LlavaJaxScorer(model, variables, _Tok(cfg.vocab_size),
                             max_new_tokens=10, decode_mode="steps",

@@ -85,7 +85,17 @@ def main():
                     default="int8")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims smoke run (CPU-safe)")
+    ap.add_argument("--anyres", action="store_true",
+                    help="serve the v1.6 anyres tiling path (the "
+                         "reference pipeline's mode, "
+                         "llava_processor.py:18-46): ~2.3k image "
+                         "tokens/frame instead of 576")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="also write the record to this JSON file "
+                         "(default: artifacts/vla_service_bench.json "
+                         "for full-dims runs; bench.py surfaces it as "
+                         "vla_service_fps)")
     args = ap.parse_args()
 
     import dataclasses
@@ -105,22 +115,34 @@ def main():
             vis_hidden=16, vis_intermediate=32, vis_layers=1, vis_heads=2,
             image_size=28, patch_size=14, vocab_size=128, hidden=16,
             intermediate=32, layers=2, heads=2, kv_heads=1,
-            image_token_index=100, dtype="bfloat16")
+            image_token_index=100, dtype="bfloat16",
+            image_grid_pinpoints=((28, 56), (56, 28), (56, 56))
+            if args.anyres else None)
     else:
-        cfg_l = LlavaJaxConfig(dtype="bfloat16")   # full 7B dims
+        cfg_l = LlavaJaxConfig(
+            dtype="bfloat16",
+            image_grid_pinpoints=((336, 672), (672, 336), (672, 672),
+                                  (1008, 336), (336, 1008))
+            if args.anyres else None)   # full 7B dims
 
     t0 = time.monotonic()
-    model, variables = build(cfg_l)
     if args.quantize == "int8":
-        from leafgrasp_tpu.vla.quant import \
-            quantize_llava_variables_device
-        box = [variables]
-        del variables
-        variables = quantize_llava_variables_device(box, bits=8)
-        model = LlavaJax(dataclasses.replace(cfg_l, quantized=True))
+        from bench_vla import build_quantized
+        model, variables = build_quantized(cfg_l)
+    else:
+        model, variables = build(cfg_l)
+    if args.anyres:
+        # build() randomizes the init shape-tree, which has no anyres
+        # tile separator; real v1.6 safetensors carry it
+        import jax.numpy as jnp
+        variables["params"]["image_newline"] = jnp.asarray(
+            0.02 * np.random.default_rng(7).standard_normal(
+                cfg_l.hidden),
+            variables["params"]["embed_tokens"]["embedding"].dtype)
     scorer = LlavaJaxScorer(model, variables,
                             _FixedLenTok(model.cfg.vocab_size),
-                            max_new_tokens=10, decode_mode="steps")
+                            max_new_tokens=10, decode_mode="steps",
+                            anyres=args.anyres)
     t_build = time.monotonic() - t0
     mem_weights = device_mem_gb()
 
@@ -237,12 +259,26 @@ def main():
                          for k, v in walls.items()},
         vla_reranked_frames=n_vla,
         quantize=args.quantize, dims="tiny" if args.tiny else "7B",
+        anyres=args.anyres,
         stages=stages, published=len(published),
         hbm_gb_after_weights=mem_weights, hbm_gb_peak_seen=mem_peak,
         inner_degradation_uniform_scores_ok=inner_ok,
         inner_degradation_strategy=inner_strategy,
         degraded_geometric_fallback_ok=degraded_ok)
     print(json.dumps(rec, indent=None if args.json else 2))
+
+    out_path = args.out
+    if out_path is None and not args.tiny:
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "artifacts",
+            "vla_service_bench.json")
+    if out_path:
+        rec["recorded_unix"] = int(time.time())
+        rec["backend"] = jax.default_backend()
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(rec, f, indent=2)
+        print(f"wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

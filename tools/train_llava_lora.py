@@ -94,6 +94,14 @@ def main():
         os.path.abspath(__file__))), "artifacts", "vla")
     os.makedirs(out_dir, exist_ok=True)
     lora.save_adapter(os.path.join(out_dir, "llava_arch_adapter.npz"))
+    # ship the pretrained base too so the serving eval
+    # (tools/eval_vla_system.py) can rebuild base+adapter without
+    # re-pretraining
+    import flax.traverse_util as tu
+    flat = {"/".join(k): np.asarray(v) for k, v in
+            tu.flatten_dict(pre.variables["params"]).items()}
+    np.savez_compressed(os.path.join(out_dir, "llava_arch_base.npz"),
+                        **flat)
     with open(os.path.join(out_dir, "llava_arch_lora.json"), "w") as f:
         json.dump({
             "config": {k: getattr(cfg, k) for k in
