@@ -268,6 +268,13 @@ class GraspService:
                   frame_index):
         """Materialize a dispatched frame: VLA rerank (when configured)
         then host-side finalize/publish."""
+        # ONE device fetch for the whole result pytree: the consumers
+        # below (found/leaf_id/candidate fields/uv/xyz/degenerate) each
+        # cost a ~27 ms round trip on the tunnelled backend if fetched
+        # lazily -- ~11 RTTs ~= 300 ms/frame, measured as the largest
+        # overhead in the r4 VLA-service bench stage split
+        import jax
+        res = jax.device_get(res)
         vla_choice = None
         if self.hybrid_selector is not None and bool(res.found):
             with self.timer.stage("vla_rerank"):
@@ -276,8 +283,9 @@ class GraspService:
                     vla_choice["leaf_id"] != int(res.leaf_id):
                 # re-run pixel selection on the VLA-chosen leaf
                 with self.timer.stage("vla_reselect"):
-                    res = self._reselect(mask16, depth,
-                                         vla_choice["leaf_id"])
+                    res = jax.device_get(
+                        self._reselect(mask16, depth,
+                                       vla_choice["leaf_id"]))
         return self._finalize(res, mask_stamp, depth_stamp, frame_index,
                               vla_choice)
 
@@ -323,8 +331,13 @@ class GraspService:
 
     def _reselect(self, mask, depth, leaf_id: int):
         """Pixel selection constrained to a specific leaf id."""
-        # reuse select_grasp with a remapped mask: keep only this leaf
-        remapped = np.where(mask == leaf_id, leaf_id, 0).astype(np.int32)
+        # reuse select_grasp with a remapped mask: keep only this leaf.
+        # int16 matters: it is the wire dtype the main path ships
+        # (_process_frame_locked), so the SAME compiled frame program
+        # serves both -- an int32 mask here jitted a second full frame
+        # program (~40 s through the tunnel) on the first VLA
+        # disagreement (caught by the r4 service bench's stage split)
+        remapped = np.where(mask == leaf_id, leaf_id, 0).astype(np.int16)
         cam = self.camera
         if self.cnn_variables is not None:
             return self._fn(remapped, depth, np.float32(cam.cx),

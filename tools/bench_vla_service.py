@@ -206,16 +206,24 @@ def main():
             n_vla += out["vla"] is not None
         return time.monotonic() - t, n_vla
 
-    # interleaved A/B batches, best-of per mode (PERF.md rules)
+    # interleaved A/B batches, best-of per mode (PERF.md rules);
+    # rep 0 also flushes any remaining lazy compiles (e.g. the first
+    # VLA-disagreement reselect), so the stage timer resets after it
+    # and the recorded stage means are steady-state
     half = max(2, args.frames // 2)
     walls = {"serial": [], "overlap": []}
     n_vla = 0
-    for rep in range(2):
+    for rep in range(3):
         w, v = run_batch(svc, half, 1 + 2 * rep * half)
         walls["serial"].append(w / half)
         n_vla += v
         w, v = run_batch(svc_over, half, 1 + (2 * rep + 1) * half)
         walls["overlap"].append(w / half)
+        if rep == 0:
+            svc.timer = StageTimer()
+        print(f"rep {rep}: serial {walls['serial'][-1] * 1e3:.0f} "
+              f"ms/frame, overlap {walls['overlap'][-1] * 1e3:.0f}",
+              flush=True)
     best_serial = min(walls["serial"])
     best_over = min(walls["overlap"])
     mem_peak = device_mem_gb()
