@@ -21,6 +21,8 @@ Methodology notes:
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -120,12 +122,31 @@ def main():
     if os.path.exists(vla_art):
         with open(vla_art) as f:
             v = json.load(f)
-        rec["vla_service_fps"] = max(v["value"], v.get("overlap_fps", 0))
+        # the service DEFAULT is serial (pipeline_depth=0): the overlap
+        # A/B measured 0.917x of serial (PERF.md "combined VLA service"),
+        # so reporting max() would mask an overlap regression fix --
+        # report the default mode and carry both in the provenance
+        rec["vla_service_fps"] = v["value"]
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip() or None
+        except Exception:
+            head = None
+        art_rev = v.get("git_rev")
+        if head and art_rev and head != art_rev:
+            print(f"WARNING: vla_service_bench.json was measured at "
+                  f"{art_rev} but HEAD is {head}; the replayed "
+                  f"vla_service_fps may be stale -- re-run "
+                  f"tools/bench_vla_service.py", file=sys.stderr)
         rec["vla_service_provenance"] = {
             "tool": "tools/bench_vla_service.py",
             "quantize": v.get("quantize"), "dims": v.get("dims"),
             "backend": v.get("backend"),
             "recorded_unix": v.get("recorded_unix"),
+            "git_rev": art_rev, "head_rev": head,
             "serial_fps": v["value"],
             "overlap_fps": v.get("overlap_fps")}
     print(json.dumps(rec))

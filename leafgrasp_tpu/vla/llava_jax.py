@@ -317,7 +317,11 @@ class _MistralAttention(nn.Module):
 
         tc = c.prefill_attn_chunk
         if (tc is None or t <= tc
-                or mask.ndim != 4 or mask.shape[2] != t):
+                or mask.ndim != 4 or mask.shape[2] != t
+                or mask.shape[1] != 1):
+            # the chunked reshape below assumes a head-dim-1 mask; a
+            # per-head (b, heads, t, s) mask would be mis-grouped, so
+            # fall back to the exact unchunked path instead (ADVICE r4)
             out = attend(q, mask)
         else:
             # long prefill: scan over query chunks so the f32 score

@@ -10,6 +10,7 @@ JAX-native replacement for the reference's transformers pipeline
 
 from __future__ import annotations
 
+import collections
 from typing import List
 
 import numpy as np
@@ -133,7 +134,13 @@ class LlavaJaxScorer:
                     "(present in v1.6 safetensors; checkpoint_io "
                     "carries it through)")
         self._decode_calls = {}   # (batch, prompt_len) -> compiled call
-        self._encode_calls = {}   # (tiles shape, image hw) -> jitted enc
+        # (tiles shape, image hw) -> jitted enc. LRU-bounded: each anyres
+        # image size compiles its own tower+pack program, so serving
+        # arbitrary resolutions would otherwise grow compiled programs
+        # (host + device memory) without bound (ADVICE r4). A fixed
+        # camera (the reference's deployment) uses exactly one slot.
+        self._encode_calls = collections.OrderedDict()
+        self._encode_calls_max = 8
         self._tower_call = None   # jitted single-tile tower+projector
 
     def _encode(self, prompt: str, n_image_tokens: int) -> list:
@@ -171,13 +178,17 @@ class LlavaJaxScorer:
             preprocess_anyres, pack_anyres_features_jnp)
         tiles, hw = preprocess_anyres(image, c.image_grid_pinpoints, c)
         key = (tiles.shape, hw)
-        if key not in self._encode_calls:
+        if key in self._encode_calls:
+            self._encode_calls.move_to_end(key)
+        else:
             def enc(v, tl):
                 tf = _VisionProject(c).apply(v, tl)
                 return pack_anyres_features_jnp(
                     tf, hw, c.image_grid_pinpoints, c,
                     v["params"]["image_newline"])
             self._encode_calls[key] = jax.jit(enc)
+            while len(self._encode_calls) > self._encode_calls_max:
+                self._encode_calls.popitem(last=False)
         packed = self._encode_calls[key](self.variables,
                                          jnp.asarray(tiles))
         return packed[None], packed.shape[0]

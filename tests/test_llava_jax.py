@@ -312,6 +312,30 @@ def test_pack_anyres_device_matches_host(tiny_next_pair):
         np.testing.assert_array_equal(np.asarray(dev), host)
 
 
+def test_pack_plan_crop_matches_unpad_feature_grid(tiny_next_pair):
+    """_pack_plan's static crop must equal the HF-anchored
+    unpad_feature_grid slice on every pinpoint aspect class: both
+    packers now sit on _pack_plan, so drift from the HF semantics
+    would otherwise go undetected (ADVICE r4)."""
+    from leafgrasp_tpu.vla.llava_next import (anyres_grid_shape,
+                                              unpad_feature_grid,
+                                              _pack_plan)
+    _, _, _, cfg = tiny_next_pair
+    pp = cfg.image_size // cfg.patch_size
+    rng = np.random.default_rng(3)
+    # wide / tall / square / extreme aspect + odd sizes (round paths)
+    for hw in ((40, 50), (50, 40), (41, 41), (30, 90), (90, 30),
+               (33, 47), (47, 33), (28, 28), (29, 57)):
+        gw, gh = anyres_grid_shape(hw, cfg.image_grid_pinpoints,
+                                   cfg.image_size)
+        plan_pp, plan_gw, plan_gh, (r0, r1, c0, c1) = _pack_plan(
+            hw, cfg.image_grid_pinpoints, cfg)
+        assert (plan_pp, plan_gw, plan_gh) == (pp, gw, gh)
+        grid = rng.normal(size=(gh * pp, gw * pp, 3)).astype(np.float32)
+        np.testing.assert_array_equal(grid[r0:r1, c0:c1],
+                                      unpad_feature_grid(grid, hw))
+
+
 def jnp_asarray(x):
     import jax.numpy as jnp
     return jnp.asarray(x)

@@ -70,12 +70,22 @@ class _FixedLenTok:
 
 
 def device_mem_gb():
+    """(gb, method). The tunnelled axon backend's ``memory_stats()``
+    returns None (no allocator telemetry crosses the tunnel), so fall
+    back to summing live committed device buffers -- a real lower bound
+    on HBM residency (it counts our weights/caches but not XLA's
+    transient scratch). VERDICT r4 item 3."""
     try:
         import jax
         s = jax.devices()[0].memory_stats()
-        return round(s.get("bytes_in_use", 0) / 2 ** 30, 2)
+        if s is not None:
+            return round(s.get("bytes_in_use", 0) / 2 ** 30, 2), \
+                "allocator_bytes_in_use"
+        live = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a in jax.live_arrays())
+        return round(live / 2 ** 30, 2), "live_buffer_bytes"
     except Exception:
-        return None
+        return None, "unavailable"
 
 
 def main():
@@ -144,22 +154,25 @@ def main():
                             max_new_tokens=10, decode_mode="steps",
                             anyres=args.anyres)
     t_build = time.monotonic() - t0
-    mem_weights = device_mem_gb()
+    mem_weights, mem_method = device_mem_gb()
 
     cfg = DEFAULT_CONFIG                      # enhanced union isolation
     _, cnn_vars = init_grasp_cnn(jax.random.PRNGKey(0), cfg.model)
-    published = []
+    # per-service sinks so published counts don't conflate the A/B
+    # modes (ADVICE r4); the recorded `stages` cover the SERIAL service
+    # only (its timer is the one reset after rep 0)
+    published = {"serial": [], "overlap": []}
 
-    def make_svc(depth_n):
+    def make_svc(depth_n, sink):
         return GraspService(cfg, cnn_variables=cnn_vars,
                             hybrid_selector=HybridGraspSelector(
                                 VLAProcessor(scorer)),
-                            publish=published.append,
+                            publish=published[sink].append,
                             min_interval_s=0.0,   # measure, don't gate
                             pipeline_depth=depth_n)
 
-    svc = make_svc(0)                         # serial: the r2/r3 mode
-    svc_over = make_svc(1)                    # overlapped (VERDICT r3 #2)
+    svc = make_svc(0, "serial")               # serial: the r2/r3 mode
+    svc_over = make_svc(1, "overlap")         # overlapped (VERDICT r3 #2)
 
     # mixed families (bench.py): leaf count + area drive the adaptive
     # EDT band and the window ladder
@@ -226,7 +239,7 @@ def main():
               flush=True)
     best_serial = min(walls["serial"])
     best_over = min(walls["overlap"])
-    mem_peak = device_mem_gb()
+    mem_peak, _ = device_mem_gb()
     stages = {k: dict(mean_ms=round(v["mean_ms"], 1),
                       count=v["count"])
               for k, v in svc.timer.summary().items()}
@@ -268,8 +281,11 @@ def main():
         vla_reranked_frames=n_vla,
         quantize=args.quantize, dims="tiny" if args.tiny else "7B",
         anyres=args.anyres,
-        stages=stages, published=len(published),
+        stages=stages,
+        stages_note="stages cover the serial service only",
+        published={k: len(v) for k, v in published.items()},
         hbm_gb_after_weights=mem_weights, hbm_gb_peak_seen=mem_peak,
+        hbm_method=mem_method,
         inner_degradation_uniform_scores_ok=inner_ok,
         inner_degradation_strategy=inner_strategy,
         degraded_geometric_fallback_ok=degraded_ok)
@@ -283,6 +299,16 @@ def main():
     if out_path:
         rec["recorded_unix"] = int(time.time())
         rec["backend"] = jax.default_backend()
+        try:
+            import subprocess
+            rec["git_rev"] = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+            ).stdout.strip() or None
+        except Exception:
+            rec["git_rev"] = None
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as f:
             json.dump(rec, f, indent=2)
