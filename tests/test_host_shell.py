@@ -230,6 +230,39 @@ def test_angle_error_and_quantify():
     assert batch[0]["leaf_id"] == 1
 
 
+def test_angle_quantifier_shell_headless_session():
+    """The click-to-annotate shell's session loop (the reference's
+    interactive quantifier, leaf_angle_quantifier.py:36-78): leaf
+    resolved at the click midpoint, off-leaf clicks skipped, palette
+    view covers every leaf."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "angle_quantifier_shell",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools",
+            "angle_quantifier_shell.py"))
+    shell = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(shell)
+
+    h, w = 100, 150
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = np.zeros((h, w), np.int16)
+    mask[((xx - 75) / 40) ** 2 + ((yy - 30) / 12) ** 2 <= 1] = 3
+    mask[((xx - 75) / 40) ** 2 + ((yy - 70) / 12) ** 2 <= 1] = 7
+    rows = shell.session(mask, [((35, 30), (115, 30)),   # leaf id 3
+                                ((35, 70), (115, 70)),   # leaf id 7
+                                ((0, 0), (2, 2))])       # background
+    assert [r["leaf_id"] for r in rows] == [3, 7, 0]
+    assert rows[0]["valid"] and rows[0]["error_deg"] < 3
+    assert rows[1]["valid"] and rows[1]["error_deg"] < 3
+    assert not rows[2]["valid"]
+    view = shell.mask_view(mask)
+    assert view.shape == (h, w, 3)
+    assert (view[mask == 3] != view[mask == 7]).any()
+    assert (view[mask == 0] == 0).all()
+
+
 # ---------------------------------------------------------------- profiler --
 
 def test_stage_timer():
