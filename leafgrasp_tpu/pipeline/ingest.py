@@ -128,6 +128,17 @@ class GraspService:
         leaf_grasp_node_vla.py:97-146). The rerank of frame N uses the
         freshest ``on_rgb`` image at completion time -- same
         latest-image semantics as the synchronous path.
+
+        **Default guidance (measured, PERF.md "Combined VLA service"):
+        with a hybrid_selector leave pipeline_depth=0.** The overlap
+        A/B on the real chip measured 0.917x of serial: the next
+        frame's ~9 MB ingest transfer streams under the rerank's
+        RTT-bound dispatch chain and head-of-line-blocks it (probe:
+        small round trips inflate 1.89x under a concurrent frame
+        transfer), while the hideable frame compute is only ~1% of the
+        rerank-dominated frame period. pipeline_depth > 0 is the
+        single-chip throughput strategy for frame-only (no-VLA)
+        pipelines.
     """
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG,
