@@ -88,6 +88,17 @@ class LlavaJaxConfig:
     # required for the anyres B=5 prefill, whose full score tensor is
     # 7.4 GB at 2.4k tokens. None disables chunking.
     prefill_attn_chunk: Optional[int] = 512
+    # "chunked" (the lax.scan above) or "flash": route long prefills
+    # through the Pallas TPU flash-attention kernel (online softmax in
+    # VMEM), which removes the per-layer f32 score tensor's HBM round
+    # trips entirely -- the chunked scan bounds the PEAK but still
+    # writes+reads every (b, heads, t, s) f32 score element. Flash
+    # engages only on the TPU backend for prompts >= one kernel block
+    # with an inactive sliding window and a head-dim-1 mask; everything
+    # else falls back to "chunked". Same math, different fp reduction
+    # order (validated on-chip: greedy token parity vs the chunked
+    # path at 7B dims, tools/bench_vla_anyres.py --flash-ab).
+    prefill_attn_impl: str = "chunked"
 
     @property
     def head_dim(self) -> int:
@@ -270,6 +281,44 @@ def _rope_hf(x, positions, theta):
     return (x * cos + rot * sin).astype(x.dtype)
 
 
+def _flash_prefill(q, kr, vr, mask, t: int):
+    """Prefill attention via the Pallas TPU flash kernel.
+
+    q: (b, t, heads, hd); kr/vr: (b, s, heads, hd) with the first t
+    slots real (s >= t; trailing cache slots are causally masked in the
+    dense path and simply dropped here); mask: (b, 1, t, s) = causal
+    AND key >= left-pad (built by _generate_prefill). The kernel's
+    causal flag + segment ids reproduce that mask exactly on real
+    rows: kv segment 1 marks non-pad key slots (read off the last --
+    widest causal -- mask row), q rows carry the same segment, so a
+    real query attends exactly {j : j <= i, j >= pad_b}. Left-pad rows
+    land in segment 0 and attend pad keys instead of the dense path's
+    uniform-softmax garbage -- both are unread (values at pad slots
+    never enter a real row's reduction, and pad-row outputs are never
+    consumed downstream). Sequences pad to a block multiple with
+    segment -1 slots (attend nothing real); padded q rows are sliced
+    off.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention, BlockSizes, SegmentIds)
+    b, _, heads, hd = q.shape
+    blk = 512 if t >= 2048 else 128
+    tp = -(-t // blk) * blk
+    seg = mask[:, 0, t - 1, :t].astype(jnp.int32)      # (b, t) 1=real
+    seg = jnp.pad(seg, ((0, 0), (0, tp - t)), constant_values=-1)
+    qf = jnp.moveaxis(q, 1, 2)                         # (b, heads, t, hd)
+    kf = jnp.moveaxis(kr[:, :t], 1, 2)
+    vf = jnp.moveaxis(vr[:, :t], 1, 2)
+    pad_rows = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+    qf, kf, vf = (jnp.pad(a, pad_rows) for a in (qf, kf, vf))
+    out = flash_attention(
+        qf, kf, vf, segment_ids=SegmentIds(q=seg, kv=seg), causal=True,
+        sm_scale=float(1.0 / np.sqrt(hd)),
+        block_sizes=BlockSizes(block_q=blk, block_k_major=blk,
+                               block_k=blk, block_b=1))
+    return jnp.moveaxis(out[:, :, :t], 2, 1)           # (b, t, heads, hd)
+
+
 class _MistralAttention(nn.Module):
     cfg: LlavaJaxConfig
 
@@ -302,23 +351,47 @@ class _MistralAttention(nn.Module):
             cache = (k, v, cur + t)
 
         rep = c.heads // c.kv_heads
-        kr = jnp.repeat(k, rep, axis=2)
-        vr = jnp.repeat(v, rep, axis=2)
 
         def attend(qc, mc):
             """Exact attention for a block of query rows against the
-            full key/value axis (softmax per row is self-contained)."""
-            scores = jnp.einsum("bthd,bshd->bhts", qc, kr,
+            full key/value axis (softmax per row is self-contained).
+
+            Grouped-query form: the repeated-K/V einsum is expressed
+            over (kv_heads, rep) axes so the (b, s, heads, hd)
+            broadcast of K/V is never materialized -- each q head's
+            dot against its shared KV head is numerically identical,
+            but at a 2.4k-token decode the materialized repeat costs
+            ~0.8 GB of HBM write+read per layer per step (~50 GB per
+            10-token rerank), which dominated the anyres decode stage.
+            mc is (b, 1, t, s): broadcasts over both head axes."""
+            bq, tq = qc.shape[:2]
+            qg = qc.reshape(bq, tq, c.kv_heads, rep, hd)
+            scores = jnp.einsum("btkrd,bskd->bkrts", qg, k,
                                 preferred_element_type=jnp.float32)
             scores = scores / jnp.sqrt(jnp.float32(hd))
-            scores = jnp.where(mc, scores, jnp.float32(-1e30))
+            if mc.shape[1] == c.heads:        # per-head mask
+                mcb = mc.reshape(mc.shape[0], c.kv_heads, rep,
+                                 *mc.shape[2:])
+            else:                             # head-dim-1 mask
+                mcb = mc[:, :, None]
+            scores = jnp.where(mcb, scores, jnp.float32(-1e30))
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-            return jnp.einsum("bhts,bshd->bthd", probs, vr)
+            out = jnp.einsum("bkrts,bskd->btkrd", probs, v)
+            return out.reshape(bq, tq, c.heads, hd)
 
         tc = c.prefill_attn_chunk
-        if (tc is None or t <= tc
-                or mask.ndim != 4 or mask.shape[2] != t
-                or mask.shape[1] != 1):
+        head1_prefill_mask = (mask.ndim == 4 and mask.shape[1] == 1
+                              and mask.shape[2] == t)
+        if (c.prefill_attn_impl == "flash" and head1_prefill_mask
+                and t >= 128
+                and (c.sliding_window is None or t <= c.sliding_window)
+                and jax.default_backend() in ("tpu", "axon")):
+            # the kernel wants equal q/kv head counts; one prefill-time
+            # repeat (amortized over t rows) is cheap, unlike per-step
+            # decode repeats
+            out = _flash_prefill(q, jnp.repeat(k, rep, axis=2),
+                                 jnp.repeat(v, rep, axis=2), mask, t)
+        elif tc is None or t <= tc or not head1_prefill_mask:
             # the chunked reshape below assumes a head-dim-1 mask; a
             # per-head (b, heads, t, s) mask would be mis-grouped, so
             # fall back to the exact unchunked path instead (ADVICE r4)

@@ -23,8 +23,8 @@ from leafgrasp_tpu.vla.llava_runtime import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 
 __all__ = ["select_best_resolution", "anyres_grid_shape", "unpad_feature_grid",
            "pack_anyres_features", "pack_anyres_features_jnp",
-           "preprocess_anyres", "llava_next_forward",
-           "llava_next_generate"]
+           "preprocess_anyres", "clip_normalize_jnp",
+           "llava_next_forward", "llava_next_generate"]
 
 
 def select_best_resolution(image_hw: Tuple[int, int],
@@ -137,12 +137,29 @@ def _patch_output_size(oh: int, ow: int, th: int, tw: int):
     return th, min(math.ceil(ow * scale_h), tw)
 
 
-def preprocess_anyres(image: np.ndarray, pinpoints, cfg) -> Tuple[
+def clip_normalize_jnp(tiles_u8):
+    """Device-side CLIP normalization of uint8 tiles: identical f32
+    elementwise math to the host ``norm`` below (u8 -> /255 -> -mean
+    -> /std, all f32), so uint8 tiles can ship over the wire at 1/4
+    the bytes and normalize on device -- bit-parity-tested against the
+    host path (tests/test_llava_jax.py)."""
+    mean = jnp.asarray(np.float32(CLIP_IMAGE_MEAN))
+    std = jnp.asarray(np.float32(CLIP_IMAGE_STD))
+    return (tiles_u8.astype(jnp.float32) / jnp.float32(255.0)
+            - mean) / std
+
+
+def preprocess_anyres(image: np.ndarray, pinpoints, cfg,
+                      normalize: bool = True) -> Tuple[
         np.ndarray, Tuple[int, int]]:
     """RGB image -> (num_tiles, tile, tile, 3) CLIP-normalized tiles
     (tile 0 = base resize) + the original (h, w).  Byte-parity with the
     HF LlavaNextImageProcessor (PIL bicubic, HF resize rounding, centred
-    zero padding before normalization -- verified in tests)."""
+    zero padding before normalization -- verified in tests).
+
+    normalize=False returns the raw uint8 tiles instead (the serving
+    scorer ships those over the wire -- 1/4 the bytes of f32 -- and
+    applies ``clip_normalize_jnp`` inside its jitted encode)."""
     from PIL import Image
     img = np.asarray(image)
     if img.dtype != np.uint8:
@@ -154,6 +171,8 @@ def preprocess_anyres(image: np.ndarray, pinpoints, cfg) -> Tuple[
     pil = Image.fromarray(img)
 
     def norm(arr):
+        if not normalize:
+            return arr
         arr = arr.astype(np.float32) / 255.0
         return (arr - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
 

@@ -175,14 +175,20 @@ class LlavaJaxScorer:
                     lambda v, p: _VisionProject(c).apply(v, p))
             return self._tower_call(self.variables, px), c.num_patches
         from leafgrasp_tpu.vla.llava_next import (
-            preprocess_anyres, pack_anyres_features_jnp)
-        tiles, hw = preprocess_anyres(image, c.image_grid_pinpoints, c)
+            preprocess_anyres, pack_anyres_features_jnp,
+            clip_normalize_jnp)
+        # uint8 tiles over the wire (1/4 the f32 bytes -- the tile
+        # transfer dominated the encode stage through the tunnel);
+        # CLIP normalization runs inside the jitted encode, bit-equal
+        # to the host path (clip_normalize_jnp)
+        tiles, hw = preprocess_anyres(image, c.image_grid_pinpoints, c,
+                                      normalize=False)
         key = (tiles.shape, hw)
         if key in self._encode_calls:
             self._encode_calls.move_to_end(key)
         else:
             def enc(v, tl):
-                tf = _VisionProject(c).apply(v, tl)
+                tf = _VisionProject(c).apply(v, clip_normalize_jnp(tl))
                 return pack_anyres_features_jnp(
                     tf, hw, c.image_grid_pinpoints, c,
                     v["params"]["image_newline"])

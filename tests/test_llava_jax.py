@@ -336,6 +336,23 @@ def test_pack_plan_crop_matches_unpad_feature_grid(tiny_next_pair):
                                       unpad_feature_grid(grid, hw))
 
 
+def test_device_clip_normalize_bit_equals_host(tiny_next_pair):
+    """The serving scorer ships uint8 tiles and normalizes on device
+    (1/4 the wire bytes); that path must be BIT-equal to the host
+    preprocess_anyres(normalize=True) tiles."""
+    from leafgrasp_tpu.vla.llava_next import (preprocess_anyres,
+                                              clip_normalize_jnp)
+    _, _, _, cfg = tiny_next_pair
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (45, 60, 3), dtype=np.uint8)
+    host, hw = preprocess_anyres(img, cfg.image_grid_pinpoints, cfg)
+    raw, hw2 = preprocess_anyres(img, cfg.image_grid_pinpoints, cfg,
+                                 normalize=False)
+    assert hw == hw2 and raw.dtype == np.uint8
+    dev = np.asarray(clip_normalize_jnp(jnp_asarray(raw)))
+    np.testing.assert_array_equal(dev, host.astype(np.float32))
+
+
 def jnp_asarray(x):
     import jax.numpy as jnp
     return jnp.asarray(x)

@@ -120,17 +120,24 @@ def main():
     from leafgrasp_tpu.vla.llava_runtime import LlavaJaxScorer
     from leafgrasp_tpu.vla.processor import VLAProcessor
 
+    # anyres serving defaults (PERF.md "anyres serving", r5): flash
+    # prefill (Pallas online-softmax kernel; engages on TPU only, so
+    # --tiny CPU smokes take the chunked fall-back) -- the 2.4k-token
+    # B=5 prefill is the binding stage and flash removes its f32 score
+    # HBM round trips. Measured greedy-token-parity vs chunked.
+    prefill_impl = "flash" if args.anyres else "chunked"
     if args.tiny:
         cfg_l = LlavaJaxConfig(
             vis_hidden=16, vis_intermediate=32, vis_layers=1, vis_heads=2,
             image_size=28, patch_size=14, vocab_size=128, hidden=16,
             intermediate=32, layers=2, heads=2, kv_heads=1,
             image_token_index=100, dtype="bfloat16",
+            prefill_attn_impl=prefill_impl,
             image_grid_pinpoints=((28, 56), (56, 28), (56, 56))
             if args.anyres else None)
     else:
         cfg_l = LlavaJaxConfig(
-            dtype="bfloat16",
+            dtype="bfloat16", prefill_attn_impl=prefill_impl,
             image_grid_pinpoints=((336, 672), (672, 336), (672, 672),
                                   (1008, 336), (336, 1008))
             if args.anyres else None)   # full 7B dims

@@ -56,6 +56,16 @@ def build_scorer(args):
             {tuple(k.split("/")): v for k, v in data.items()})
         variables = {"params": merge_lora_params(variables["params"],
                                                  adapter)}
+    impl = args.prefill_impl
+    if impl == "auto":
+        # anyres serving default (PERF.md "anyres serving"): the Pallas
+        # flash prefill wins on the 2.4k-token anyres prompts and
+        # engages on TPU only; single-tile prompts keep chunked
+        impl = "flash" if args.anyres else "chunked"
+    if impl != model.cfg.prefill_attn_impl:
+        import dataclasses as _dc
+        from leafgrasp_tpu.vla.llava_jax import LlavaJax
+        model = LlavaJax(_dc.replace(model.cfg, prefill_attn_impl=impl))
     scorer = LlavaJaxScorer(
         model, variables, tok,
         max_new_tokens=args.max_new_tokens,
@@ -108,6 +118,12 @@ def main(argv=None):
     ap.add_argument("--lora-rank", type=int, default=0)
     ap.add_argument("--adapter", default="",
                     help="LoRA adapter .npz (vla/lora.py save format)")
+    ap.add_argument("--prefill-impl", default="auto",
+                    choices=["auto", "chunked", "flash"],
+                    help="prefill attention: 'flash' = Pallas "
+                         "online-softmax kernel (TPU; the anyres "
+                         "serving default), 'chunked' = query-chunk "
+                         "scan; 'auto' picks flash for --anyres")
     ap.add_argument("--decode-mode", default="steps",
                     choices=["scan", "steps"],
                     help="steps fits a bf16 7B batch-5 rerank on one "
