@@ -60,7 +60,15 @@ def main():
     cfg_enh = DEFAULT_CONFIG
     cx, cy, f = np.float32(707.87), np.float32(494.07), np.float32(1750.68)
 
-    per_family = int(os.environ.get("LEAFGRASP_BENCH_PER_FAMILY", "14"))
+    # 28/family (r5; was 14): the per-family subsets pay the same fixed
+    # ~31 ms dispatch+fetch overhead as the 3x-larger mixed aggregate,
+    # so at 14 frames they under-read the chip's steady-state throughput
+    # by ~2 fps (PERF.md "measurement caveat"); 28 frames amortize the
+    # overhead like the mixed run while keeping the same scene diversity
+    # (distinct np.roll offsets). Same-session interleaved A/B at the
+    # switch: sparse-enhanced 62.5 fps at 14 frames vs 66.9 at 28
+    # (identical program, 3 reps each within 1%).
+    per_family = int(os.environ.get("LEAFGRASP_BENCH_PER_FAMILY", "28"))
     frames = []                      # list of (family, mask_dev, depth_dev)
     for name, n_leaves, seed, margin in FAMILIES:
         mask, depth = make_leaf_scene(cfg.frame.height, cfg.frame.width,

@@ -128,6 +128,17 @@ class GraspScoringConfig:
     # O(wq + 2*pad) source columns on crowded frames. 0 = off
     # (measured default pending; see PERF.md roadmap 11).
     leaf_window_src_pad: int = 0
+    # Envelope-max sampling knobs (ops/edt.edt_max_argmax[_batch]); the
+    # result is EXACT at any setting (coverage guard + full-sweep
+    # fallback) -- these only trade scan vs refinement cost. 0 = the
+    # ops defaults (stride 16 / k 512, the r5 measured setting); the
+    # pre-r5 8/2048 stays reachable for A/Bs.
+    envelope_stride: int = 0
+    envelope_k: int = 0
+    # Interference pass-1 strategy (ops/morphology):
+    # "levels" = sparse-table nested-window erosion (r5 default),
+    # "runs" = per-column-offset loop; bit-identical outputs.
+    dvd_impl: str = "levels"
 
     # accessibility internals (grasp_point_selector.py:502-524)
     access_distance_weight: float = 0.7

@@ -280,6 +280,11 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
                                        squared_edt_window_src)
     from leafgrasp_tpu.ops.morphology import dilated_vertical_dist_multi
     iso_mode = "skip" if skip_isolation else cfg.isolation_context
+    env_kw = {}
+    if cfg.envelope_stride:
+        env_kw["stride"] = cfg.envelope_stride
+    if cfg.envelope_k:
+        env_kw["k"] = cfg.envelope_k
 
     def _batched_g2(seeds):
         g = nearest_seed_dist_1d(seeds, axis=1).astype(jnp.float32)
@@ -367,12 +372,14 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
         d_up, d_dn = d3_up[2], d3_dn[2]
         gc, gw = (x.astype(jnp.float32) for x in dilated_vertical_dist_multi(
             d_up, d_dn, (elliptical_kernel(cfg.isolation_close_kernel),
-                         elliptical_kernel(cfg.isolation_wide_kernel))))
+                         elliptical_kernel(cfg.isolation_wide_kernel)),
+            impl=cfg.dvd_impl))
         g2_close, g2_wide = gc * gc, gw * gw
         no_other = ~jnp.any(other)
         maxs, _ = edt_max_argmax_batch(
             jnp.stack([g2[1], g2_close, g2_wide]),
-            constant_field=jnp.stack([~jnp.any(m), no_other, no_other]))
+            constant_field=jnp.stack([~jnp.any(m), no_other, no_other]),
+            **env_kw)
         max_dout, close_max, wide_max = maxs[0], maxs[1], maxs[2]
         din, dclose, dwide = _leaf_fields(
             jnp.stack([g2[0], g2_close, g2_wide]),
@@ -383,7 +390,7 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
         h, w = m.shape
         g2 = _batched_g2(jnp.stack([~m, m]))
         din = _leaf_fields(g2[:1], field_bound=din_bound)[0]
-        max_dout, _ = edt_max_argmax(m, g2=g2[1])
+        max_dout, _ = edt_max_argmax(m, g2=g2[1], **env_kw)
 
         def half_edt(inter):
             # 2x2 any-pool -> half-res EDT -> nearest upsample, px scale x2
@@ -404,7 +411,7 @@ def compute_grasp_scores(leaf_mask: jnp.ndarray, all_mask: jnp.ndarray,
     else:
         g2 = _batched_g2(jnp.stack([~m, m]))
         din = _leaf_fields(g2[:1], field_bound=din_bound)[0]
-        max_dout, _ = edt_max_argmax(m, g2=g2[1])
+        max_dout, _ = edt_max_argmax(m, g2=g2[1], **env_kw)
         # reference_self: empty interference -> cv2 FLT_MAX field ->
         # normalized score 1 everywhere; skip: zero field -> score 0
         fill = 0.0 if skip_isolation else 1.0

@@ -327,7 +327,7 @@ def _tile_candidates(ds: jnp.ndarray, k: int, tile: int = 8):
 
 @functools.partial(jax.jit, static_argnames=("stride", "k", "chunk"))
 def edt_max_argmax(seeds: jnp.ndarray, g2: jnp.ndarray | None = None,
-                   stride: int = 8, k: int = 2048, chunk: int = 512):
+                   stride: int = 16, k: int = 1024, chunk: int = 512):
     """Exact ``(max, argmax)`` of ``edt(seeds)`` WITHOUT the pass-2 field.
 
     Several consumers only need the global max of a wide distance field
@@ -358,6 +358,16 @@ def edt_max_argmax(seeds: jnp.ndarray, g2: jnp.ndarray | None = None,
        near-max plateaus), fall back to the exact full sweep via
        ``lax.cond``. Seed-free and all-seed frames (constant fields)
        are exact in the primary branch and never fall back.
+
+    Defaults stride=16/k=1024 (r5; was 8/2048): the result is exact at
+    ANY stride/k (the guard falls back to the full sweep when coverage
+    can't be proven), so the knobs only trade envelope-scan cost
+    against refinement cost and fallback likelihood.  The guard-margin
+    probe over every (leaf, channel) of the three bench families
+    measured 0/63 fallbacks with worst margin +15 px at this setting
+    (k=512 DOES fall back on a sparse-family 70-sample near-max ridge;
+    stride 8/k 2048 pays ~2x the envelope scan), and the coarser
+    envelope A/B'd faster end to end (PERF.md roadmap 12b).
 
     Returns (max_dist f32 scalar, argmax flat row-major index int32).
     """
@@ -526,8 +536,8 @@ def squared_edt_window_src(g2: jnp.ndarray, r0, c0, hq: int, wq: int,
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "k", "chunk"))
-def edt_max_argmax_batch(g2: jnp.ndarray, stride: int = 8,
-                         k: int = 2048, chunk: int = 512,
+def edt_max_argmax_batch(g2: jnp.ndarray, stride: int = 16,
+                         k: int = 1024, chunk: int = 512,
                          constant_field: jnp.ndarray | None = None):
     """Per-channel exact ``(max, argmax)`` of the EDTs whose pass-1
     squared fields are ``g2``: (C, H, W) -> ((C,) f32, (C,) int32).

@@ -222,25 +222,57 @@ def dilated_vertical_dist(d_up: jnp.ndarray, d_dn: jnp.ndarray,
 
 
 def dilated_vertical_dist_multi(d_up: jnp.ndarray, d_dn: jnp.ndarray,
-                                kernels) -> list:
-    """``dilated_vertical_dist`` for several SEs over the SAME seed set,
-    sharing the shifted d_up/d_dn reads across kernels: each distinct
-    column offset dx (union over kernels) is shifted once and consumed
-    by every kernel with a run at that dx. Bit-identical to per-kernel
-    calls (same mins, reassociated); the isolation close/wide pair
-    (grasp_point_selector.py:607-616) is the intended caller."""
+                                kernels, impl: str = "levels") -> list:
+    """``dilated_vertical_dist`` for several SEs over the SAME seed set.
+
+    Two bit-identical evaluation strategies (both compute, per kernel,
+    ``min_dx min(max(du(x+dx) - up(dx), 0), max(dd(x+dx) - dn(dx), 0))``
+    over the SE's column runs):
+
+    * ``"levels"`` (default): the min over dx is a 1D min-plus EROSION
+      of du (resp. dd) by the structuring function up(dx) (resp.
+      dn(dx)); since ellipse column heights are unimodal in dx, the
+      erosion decomposes exactly into ~#distinct-heights nested-window
+      mins -- ``min_v (rangemin_{dx: s(dx) >= v} d(x+dx) - v)`` -- each
+      answered in 2 reads from a shared sparse range-min table
+      (log-depth doubling pyramid).  ~310 elementwise (H, W) passes for
+      the 30/40 isolation pair vs ~510 for the per-dx loop (the r5
+      A/B'd saving); falls back automatically for SEs with
+      non-unimodal column heights.
+    * ``"runs"``: one shifted read per column offset dx, consumed by
+      every kernel with a run at that dx (the pre-r5 path, kept as the
+      measured alternate and the fallback).
+
+    The clamp/min reassociation is exact in int32: max(.,0) is monotone
+    so it commutes with the min over dx, and grouping dx by height v
+    with nested windows preserves the candidate set (every window term
+    du(x+dx) - v with s(dx) >= v over-approximates du(x+dx) - s(dx),
+    and v = s(dx*) is attained).  The isolation close/wide pair
+    (grasp_point_selector.py:607-616) is the intended caller.
+    """
     runs_per_k = [_col_runs(np.asarray(k)) for k in kernels]
     d_up = jnp.asarray(d_up, jnp.int32)
     d_dn = jnp.asarray(d_dn, jnp.int32)
+    big = jnp.int32(d_up.shape[0] + d_up.shape[1])
+    if impl == "levels":
+        lv = [(_se_levels(runs, 1), _se_levels(runs, 2))
+              for runs in runs_per_k]
+        if all(a is not None and b is not None for a, b in lv):
+            return _dvd_levels(d_up, d_dn, lv, big)
+    elif impl != "runs":
+        raise ValueError(f"unknown dilated_vertical_dist impl {impl!r}")
+    return _dvd_runs(d_up, d_dn, runs_per_k, big)
+
+
+def _dvd_runs(d_up, d_dn, runs_per_k, big) -> list:
     h, w = d_up.shape
-    big = jnp.int32(h + w)
     zero = jnp.int32(0)
     # dx -> [(kernel_index, up, dn), ...]
     by_dx: dict = {}
     for ki, runs in enumerate(runs_per_k):
         for dx, up, dn in runs:
             by_dx.setdefault(dx, []).append((ki, up, dn))
-    outs = [jnp.full((h, w), big, jnp.int32) for _ in kernels]
+    outs = [jnp.full((h, w), big, jnp.int32) for _ in runs_per_k]
     for dx in sorted(by_dx):
         du = _shift_cols_i(d_up, dx, big)
         dd = _shift_cols_i(d_dn, dx, big)
@@ -248,4 +280,71 @@ def dilated_vertical_dist_multi(d_up: jnp.ndarray, d_dn: jnp.ndarray,
             cand = jnp.minimum(jnp.maximum(du - up, zero),
                                jnp.maximum(dd - dn, zero))
             outs[ki] = jnp.minimum(outs[ki], cand)
+    return outs
+
+
+def _se_levels(runs, which):
+    """(value, lo, hi) windows of one direction's structuring function:
+    for each distinct height v, the column-offset window
+    {dx : s(dx) >= v}.  None if any window is non-contiguous (heights
+    not unimodal) or the SE skips columns inside its span -- callers
+    then fall back to the per-dx path."""
+    dxs = np.array([r[0] for r in runs])
+    vals = np.array([r[which] for r in runs])
+    order = np.argsort(dxs)
+    dxs, vals = dxs[order], vals[order]
+    if not np.array_equal(dxs, np.arange(dxs[0], dxs[-1] + 1)):
+        return None
+    levels = []
+    for v in np.unique(vals):
+        sel = np.flatnonzero(vals >= v)
+        if not np.array_equal(sel, np.arange(sel[0], sel[-1] + 1)):
+            return None
+        levels.append((int(v), int(dxs[sel[0]]), int(dxs[sel[-1]])))
+    return levels
+
+
+def _dvd_levels(d_up, d_dn, levels_per_k, big) -> list:
+    zero = jnp.int32(0)
+    windows = [wnd for lv_up, lv_dn in levels_per_k
+               for wnd in lv_up + lv_dn]
+    max_len = max(hi - lo + 1 for v, lo, hi in windows)
+    pmax = max_len.bit_length() - 1
+    # A window read starts at column x + lo (lo < 0 for left reaches).
+    # The suffix-min tables are only correct for in-range START columns
+    # -- a raw negative-start read would sentinel the WHOLE window, not
+    # just its out-of-frame prefix -- so pad `lmax` sentinel columns on
+    # the left and crop after.  Right-overflowing windows are already
+    # correct: the table construction's shifts fill big past the edge.
+    lmax = max(0, max(-lo for v, lo, hi in windows))
+    h, w = d_up.shape
+    lpad = jnp.full((h, lmax), big, jnp.int32) if lmax else None
+
+    def tables(d):
+        # t[p][:, x] = min over s in [0, 2^p) of d[:, x + s] (OOB = big)
+        if lpad is not None:
+            d = jnp.concatenate([lpad, d], axis=1)
+        t = [d]
+        for p in range(1, pmax + 1):
+            t.append(jnp.minimum(t[-1],
+                                 _shift_cols_i(t[-1], 1 << (p - 1), big)))
+        return t
+
+    t_up, t_dn = tables(d_up), tables(d_dn)
+
+    def erosion(tabs, levels):
+        out = None
+        for v, lo, hi in levels:
+            p = (hi - lo + 1).bit_length() - 1
+            wmin = jnp.minimum(
+                _shift_cols_i(tabs[p], lmax + lo, big),
+                _shift_cols_i(tabs[p], lmax + hi - (1 << p) + 1, big))
+            cand = wmin - jnp.int32(v)
+            out = cand if out is None else jnp.minimum(out, cand)
+        return out[:, :w] if lmax else out
+
+    outs = []
+    for lv_up, lv_dn in levels_per_k:
+        outs.append(jnp.minimum(jnp.maximum(erosion(t_up, lv_up), zero),
+                                jnp.maximum(erosion(t_dn, lv_dn), zero)))
     return outs

@@ -111,3 +111,75 @@ def test_dilated_vertical_dist_multi_bit_equal_per_kernel():
     for k, got in zip(kernels, multi):
         want = dilated_vertical_dist(du, dd, k)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_dilated_vertical_dist_levels_vs_runs_bit_equal():
+    """The r5 sparse-table nested-window erosion ("levels") is
+    bit-identical to the per-column-offset loop ("runs") -- the level
+    decomposition of a unimodal structuring function preserves the
+    candidate set exactly (ops/morphology.dilated_vertical_dist_multi).
+    Covers seed densities from near-empty (sentinel paths) to dense,
+    frame edges included."""
+    import jax.numpy as jnp
+    from leafgrasp_tpu.ops.edt import directional_seed_dist_1d
+    from leafgrasp_tpu.ops.morphology import (dilated_vertical_dist_multi,
+                                              elliptical_kernel,
+                                              rect_kernel)
+    rng = np.random.default_rng(11)
+    kernels = (elliptical_kernel(30), elliptical_kernel(40),
+               elliptical_kernel(7, 13), rect_kernel(5),
+               elliptical_kernel(41), elliptical_kernel(3))
+    for p in (0.0, 0.001, 0.04, 0.5):
+        mask = rng.random((61, 83)) < p
+        du, dd = directional_seed_dist_1d(jnp.asarray(mask), axis=0)
+        lv = dilated_vertical_dist_multi(du, dd, kernels, impl="levels")
+        rn = dilated_vertical_dist_multi(du, dd, kernels, impl="runs")
+        for k, a, b in zip(kernels, lv, rn):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"kernel {k.shape} p={p}")
+
+
+def test_se_levels_non_unimodal_falls_back():
+    """A structuring element whose column heights are NOT unimodal must
+    route through the per-dx path (the level windows would be
+    non-contiguous); the public API still returns the exact answer."""
+    import jax.numpy as jnp
+    from leafgrasp_tpu.ops.edt import directional_seed_dist_1d
+    from leafgrasp_tpu.ops.morphology import (_se_levels, _col_runs,
+                                              dilated_vertical_dist,
+                                              dilated_vertical_dist_multi)
+    # columns: heights 3,1,3 around the anchor row -> non-unimodal
+    se = np.array([[1, 0, 1],
+                   [1, 1, 1],
+                   [1, 0, 1]], dtype=np.uint8)
+    runs = _col_runs(se)
+    assert _se_levels(runs, 1) is None
+    rng = np.random.default_rng(3)
+    h, w = 31, 47
+    mask = rng.random((h, w)) < 0.1
+    du, dd = directional_seed_dist_1d(jnp.asarray(mask), axis=0)
+    got = dilated_vertical_dist_multi(du, dd, (se,), impl="levels")[0]
+    # numpy oracle: materialize the OpenCV dilation (anchor = center),
+    # then per-column vertical nearest-seed distance with the h+w
+    # sentinel
+    dil = np.zeros((h, w), bool)
+    for i in range(3):
+        for j in range(3):
+            if se[i, j]:
+                ys = np.clip(np.arange(h) + i - 1, 0, h - 1)
+                xs = np.clip(np.arange(w) + j - 1, 0, w - 1)
+                valid_y = (np.arange(h) + i - 1 >= 0) & \
+                    (np.arange(h) + i - 1 < h)
+                valid_x = (np.arange(w) + j - 1 >= 0) & \
+                    (np.arange(w) + j - 1 < w)
+                contrib = mask[np.ix_(ys, xs)] & valid_y[:, None] & \
+                    valid_x[None, :]
+                dil |= contrib
+    want = np.full((h, w), h + w, np.int64)
+    for x in range(w):
+        seeds = np.flatnonzero(dil[:, x])
+        if seeds.size:
+            want[:, x] = np.abs(np.arange(h)[:, None]
+                                - seeds[None, :]).min(axis=1)
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.int64), want)
